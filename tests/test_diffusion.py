@@ -1,0 +1,240 @@
+"""Diffusion schedule + sampler golden tests vs the reference engine (CPU torch)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from egohmr_tpu.diffusion import (
+    GuidanceConfig,
+    make_schedule,
+    q_posterior_mean,
+    q_sample,
+    sample_loop,
+    space_timesteps,
+)
+from .conftest import requires_reference
+
+
+def test_space_timesteps_ddim5():
+    assert space_timesteps(50, "ddim5") == set(range(0, 50, 10))
+
+
+def test_timestep_map_identity_when_unspaced():
+    s = make_schedule(50, "cosine", "")
+    np.testing.assert_array_equal(np.asarray(s.timestep_map), np.arange(50))
+
+
+@requires_reference
+class TestGoldenSchedule:
+    def _ref_diffusion(self, respacing=""):
+        from diffusion import gaussian_diffusion as gd
+        from diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+
+        betas = gd.get_named_beta_schedule("cosine", 50, scale_betas=1.0)
+        if respacing == "":
+            respacing = [50]
+        return SpacedDiffusion(
+            use_timesteps=ref_space(50, respacing),
+            betas=betas,
+            rescale_timesteps=False,
+            body_rep_mean=None,
+            body_rep_std=None,
+        )
+
+    @pytest.mark.parametrize("respacing", ["", "ddim5"])
+    def test_tables(self, respacing):
+        ref = self._ref_diffusion(respacing)
+        got = make_schedule(50, "cosine", respacing)
+        for name in [
+            "betas",
+            "alphas_cumprod",
+            "alphas_cumprod_prev",
+            "sqrt_alphas_cumprod",
+            "sqrt_one_minus_alphas_cumprod",
+            "sqrt_recip_alphas_cumprod",
+            "sqrt_recipm1_alphas_cumprod",
+            "posterior_variance",
+            "posterior_log_variance_clipped",
+            "posterior_mean_coef1",
+            "posterior_mean_coef2",
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                getattr(ref, name).astype(np.float32),
+                rtol=1e-6,
+                atol=1e-7,
+                err_msg=name,
+            )
+        if respacing == "ddim5":
+            np.testing.assert_array_equal(
+                np.asarray(got.timestep_map), np.array(ref.timestep_map)
+            )
+
+    def test_q_sample_and_posterior(self, rng):
+        import torch
+
+        ref = self._ref_diffusion("")
+        got = make_schedule(50, "cosine", "")
+        x0 = rng.randn(8, 144).astype(np.float32)
+        xt = rng.randn(8, 144).astype(np.float32)
+        noise = rng.randn(8, 144).astype(np.float32)
+        t = rng.randint(0, 50, size=8)
+
+        want = ref.q_sample(
+            torch.from_numpy(x0), torch.from_numpy(t), torch.from_numpy(noise)
+        ).numpy()
+        mine = np.asarray(
+            q_sample(got, jnp.asarray(x0), jnp.asarray(t), jnp.asarray(noise))
+        )
+        np.testing.assert_allclose(mine, want, rtol=1e-5, atol=1e-6)
+
+        want_mean, _, _ = ref.q_posterior_mean_variance(
+            torch.from_numpy(x0), torch.from_numpy(xt), torch.from_numpy(t)
+        )
+        mine_mean = np.asarray(
+            q_posterior_mean(got, jnp.asarray(x0), jnp.asarray(xt), jnp.asarray(t))
+        )
+        np.testing.assert_allclose(mine_mean, want_mean.numpy(), rtol=1e-5, atol=1e-6)
+
+
+class _LinearDenoiser:
+    """Deterministic toy denoiser usable from both torch and jax."""
+
+    def __init__(self, rng, d=16):
+        self.w = rng.randn(d, d).astype(np.float32) * 0.05
+        self.b = rng.randn(d).astype(np.float32) * 0.01
+
+    def jax_fn(self):
+        w, b = jnp.asarray(self.w), jnp.asarray(self.b)
+
+        def fn(x, t_orig):
+            return x @ w + b + 0.001 * t_orig[:, None].astype(x.dtype)
+
+        return fn
+
+    def torch_model(self):
+        import torch
+
+        outer = self
+
+        class M:
+            def parameters(self):
+                yield torch.zeros(1)
+
+            def __call__(self, batch, ts):
+                x = batch["x_t"]
+                out = (
+                    x @ torch.from_numpy(outer.w)
+                    + torch.from_numpy(outer.b)
+                    + 0.001 * ts[:, None].float()
+                )
+                return {"pred_x_start": out}
+
+        return M()
+
+
+@requires_reference
+class TestGoldenSamplers:
+    def test_ddim_loop_matches(self, rng):
+        """DDIM eta=0 is deterministic given the initial noise -> exact golden."""
+        import torch
+        from diffusion import gaussian_diffusion as gd
+        from diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+
+        betas = gd.get_named_beta_schedule("cosine", 50)
+        ref = SpacedDiffusion(
+            use_timesteps=ref_space(50, "ddim5"), betas=betas,
+            rescale_timesteps=False, body_rep_mean=None, body_rep_std=None,
+        )
+        den = _LinearDenoiser(rng)
+        x_T = rng.randn(4, 16).astype(np.float32)
+
+        out = ref.ddim_sample_loop(
+            den.torch_model(), {}, (4, 16), noise=torch.from_numpy(x_T.copy()),
+            clip_denoised=False, device=torch.device("cpu"), eta=0.0,
+        )
+        want = out["sample"].numpy()
+
+        sched = make_schedule(50, "cosine", "ddim5")
+        got, got_x0 = sample_loop(
+            sched, den.jax_fn(), jax.random.PRNGKey(0), (4, 16),
+            sampler="ddim", noise=jnp.asarray(x_T),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_x0), np.asarray(got))
+
+    def test_ddpm_loop_matches_zero_noise(self, rng, monkeypatch):
+        """With randn_like patched to zeros the DDPM chain is deterministic."""
+        import torch
+        from diffusion import gaussian_diffusion as gd
+        from diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+
+        monkeypatch.setattr(gd.th, "randn_like", lambda x: torch.zeros_like(x))
+
+        betas = gd.get_named_beta_schedule("cosine", 50)
+        ref = SpacedDiffusion(
+            use_timesteps=ref_space(50, [50]), betas=betas,
+            rescale_timesteps=False, body_rep_mean=None, body_rep_std=None,
+        )
+        den = _LinearDenoiser(rng)
+        x_T = rng.randn(4, 16).astype(np.float32)
+        out = ref.p_sample_loop(
+            den.torch_model(), {}, (4, 16), noise=torch.from_numpy(x_T.copy()),
+            clip_denoised=False, device=torch.device("cpu"), progress=False,
+        )
+        want = out["sample"].numpy()
+
+        sched = make_schedule(50, "cosine", "")
+        zero_normal = lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype)
+        monkeypatch.setattr(jax.random, "normal", zero_normal)
+        got, _ = sample_loop(
+            sched, den.jax_fn(), jax.random.PRNGKey(0), (4, 16),
+            sampler="ddpm", noise=jnp.asarray(x_T),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
+
+    def test_ddpm_guided_matches_zero_noise(self, rng, monkeypatch):
+        """Guidance path: grad hook + t<=10 gating + 0.01 floor below t=5."""
+        import torch
+        from diffusion import gaussian_diffusion as gd
+        from diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+
+        monkeypatch.setattr(gd.th, "randn_like", lambda x: torch.zeros_like(x))
+        den = _LinearDenoiser(rng)
+        gw = rng.randn(16).astype(np.float32) * 0.1
+
+        class GuidedModel:
+            def parameters(self):
+                yield torch.zeros(1)
+
+            def __call__(self, batch, ts):
+                return den.torch_model()(batch, ts)
+
+            def guide_coll(self, batch, out, t, compute_grad="x_t"):
+                return batch["x_t"] * 0.01 + torch.from_numpy(gw)
+
+        betas = gd.get_named_beta_schedule("cosine", 50)
+        ref = SpacedDiffusion(
+            use_timesteps=ref_space(50, [50]), betas=betas,
+            rescale_timesteps=False, body_rep_mean=None, body_rep_std=None,
+        )
+        x_T = rng.randn(4, 16).astype(np.float32)
+        out = ref.p_sample_loop(
+            GuidedModel(), {}, (4, 16), noise=torch.from_numpy(x_T.copy()),
+            clip_denoised=False, device=torch.device("cpu"),
+            cond_fn_with_grad=True, cond_grad_weight=2.0, progress=False,
+        )
+        want = out["sample"].numpy()
+
+        sched = make_schedule(50, "cosine", "")
+        gw_j = jnp.asarray(gw)
+        guidance_fn = lambda x, t: x * 0.01 + gw_j
+        zero_normal = lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype)
+        monkeypatch.setattr(jax.random, "normal", zero_normal)
+        got, _ = sample_loop(
+            sched, den.jax_fn(), jax.random.PRNGKey(0), (4, 16),
+            sampler="ddpm", guidance_fn=guidance_fn,
+            guidance=GuidanceConfig(cond_grad_weight=2.0),
+            noise=jnp.asarray(x_T),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
