@@ -1,0 +1,187 @@
+"""SMPL linear blend skinning in pure JAX.
+
+TPU-native reimplementation of the smplx SMPL forward pass that the reference
+calls everywhere (reference models/egohmr/egohmr.py:105-107,276;
+models/prohmr/prohmr_scene.py:64-66,169). The whole forward is expressed as a
+handful of large matmuls (shape blendshapes, pose blendshapes, joint
+regression, skinning) plus a `lax.scan` down the 24-joint kinematic chain —
+everything maps onto the MXU and fuses under jit. The per-sample Python
+objects of smplx (SMPLOutput etc.) are replaced by a NamedTuple of arrays.
+
+Output matches smplx semantics: `joints` has 45 rows — 24 regressed skeleton
+joints followed by 21 mesh-vertex keypoints (face/feet/finger tips), the
+layout the reference's `smpl_to_openpose` indexing assumes
+(reference models/egohmr/egohmr.py:108-109).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import aa_to_rotmat
+from . import constants as C
+
+Array = jax.Array
+
+
+class SMPLModel(NamedTuple):
+    """Static SMPL model data (a pytree of device arrays)."""
+
+    v_template: Array      # [V, 3]
+    shapedirs: Array       # [V, 3, n_betas]
+    posedirs: Array        # [207, V*3] (smplx layout: reshaped + transposed)
+    j_regressor: Array     # [24, V]
+    lbs_weights: Array     # [V, 24]
+    parents: Array         # [24] int32
+    faces: Array           # [F, 3] int32
+    extra_joint_ids: Array  # [21] int32
+
+    @property
+    def num_vertices(self) -> int:
+        return self.v_template.shape[0]
+
+
+class SMPLOutput(NamedTuple):
+    vertices: Array       # [B, V, 3]
+    joints: Array         # [B, 45, 3]
+    full_pose: Array      # [B, 24, 3, 3] rotation matrices
+    joints_smpl: Array    # [B, 24, 3] skeleton joints only
+
+
+def _rigid_transform(rot_mats: Array, joints: Array, parents: np.ndarray):
+    """Forward-kinematics chain.
+
+    rot_mats: [B, 24, 3, 3]; joints: [B, 24, 3] rest-pose joint locations.
+    Returns (posed_joints [B,24,3], rel_transforms [B,24,4,4]) following the
+    standard SMPL batch_rigid_transform: A_k = A_parent(k) @ [R_k | j_k - j_parent].
+    """
+    rel_joints = joints.at[:, 1:].add(-joints[:, parents[1:]])
+
+    def make_tf(rot, t):
+        # [B, 4, 4]
+        top = jnp.concatenate([rot, t[..., None]], axis=-1)
+        bottom = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 0.0, 1.0], rot.dtype), top.shape[:-2] + (1, 4)
+        )
+        return jnp.concatenate([top, bottom], axis=-2)
+
+    transforms_mat = make_tf(rot_mats, rel_joints)  # [B, 24, 4, 4]
+
+    # walk down the chain: parents[k] < k for SMPL so a sequential pass works.
+    # 24 chained 4x4 matmuls per sample — negligible FLOPs; unrolled in Python
+    # (static 24) so XLA sees a flat dependency chain with no dynamic updates.
+    globals_list = [transforms_mat[:, 0]]
+    for k in range(1, len(parents)):
+        globals_list.append(
+            jnp.matmul(
+                globals_list[parents[k]], transforms_mat[:, k], precision="highest"
+            )
+        )
+    chain = jnp.stack(globals_list, axis=1)  # [B, 24, 4, 4]
+
+    posed_joints = chain[:, :, :3, 3]
+    # subtract the skeleton-induced translation of the rest joints
+    joints_hom = jnp.concatenate([joints, jnp.zeros_like(joints[..., :1])], axis=-1)
+    correction = jnp.einsum(
+        "bkij,bkj->bki", chain, joints_hom, precision="highest"
+    )
+    rel = chain.at[:, :, :3, 3].add(-correction[..., :3])
+    return posed_joints, rel
+
+
+def lbs(
+    model: SMPLModel,
+    betas: Array,
+    global_orient: Array,
+    body_pose: Array,
+    transl: Optional[Array] = None,
+    pose2rot: bool = True,
+) -> SMPLOutput:
+    """SMPL forward pass.
+
+    betas: [B, 10]; global_orient: [B, 1, 3, 3] or [B, 3] (axis-angle when
+    pose2rot); body_pose: [B, 23, 3, 3] or [B, 69]; transl: [B, 3] or None.
+    Matches smplx.SMPL.forward(..., pose2rot=...) as used by the reference
+    (models/egohmr/egohmr.py:276 uses pose2rot=False with rotmats;
+    dataloaders/augmentation.py:458 uses axis-angle).
+    """
+    B = betas.shape[0]
+    if pose2rot:
+        aa = jnp.concatenate(
+            [global_orient.reshape(B, 1, 3), body_pose.reshape(B, 23, 3)], axis=1
+        )
+        rot_mats = aa_to_rotmat(aa.reshape(-1, 3)).reshape(B, 24, 3, 3)
+    else:
+        rot_mats = jnp.concatenate(
+            [global_orient.reshape(B, 1, 3, 3), body_pose.reshape(B, 23, 3, 3)],
+            axis=1,
+        )
+
+    # 1. shape blendshapes:  v_shaped = T + S·β
+    blend = jnp.einsum(
+        "bl,vcl->bvc", betas, model.shapedirs, precision="highest"
+    )
+    v_shaped = model.v_template[None] + blend  # [B, V, 3]
+
+    # 2. rest joints
+    joints_rest = jnp.einsum(
+        "jv,bvc->bjc", model.j_regressor, v_shaped, precision="highest"
+    )  # [B, 24, 3]
+
+    # 3. pose blendshapes from the 23 non-root rotations
+    ident = jnp.eye(3, dtype=rot_mats.dtype)
+    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, 207]
+    pose_offsets = jnp.matmul(
+        pose_feature, model.posedirs, precision="highest"
+    ).reshape(B, -1, 3)
+    v_posed = v_shaped + pose_offsets
+
+    # 4. forward kinematics
+    parents = np.asarray(C.PARENTS)
+    posed_joints, rel_transforms = _rigid_transform(rot_mats, joints_rest, parents)
+
+    # 5. skinning:  T = W · A
+    T = jnp.einsum(
+        "vk,bkij->bvij", model.lbs_weights, rel_transforms, precision="highest"
+    )  # [B, V, 4, 4]
+    v_hom = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
+    verts = jnp.einsum("bvij,bvj->bvi", T, v_hom, precision="highest")[..., :3]
+
+    # 6. extra keypoints straight from the mesh (vertex_joint_selector)
+    extra = verts[:, model.extra_joint_ids]  # [B, 21, 3]
+    joints45 = jnp.concatenate([posed_joints, extra], axis=1)
+
+    if transl is not None:
+        t = transl[:, None, :]
+        verts = verts + t
+        joints45 = joints45 + t
+        posed_joints = posed_joints + t
+
+    return SMPLOutput(
+        vertices=verts,
+        joints=joints45,
+        full_pose=rot_mats,
+        joints_smpl=posed_joints,
+    )
+
+
+def vertex_normals(vertices: Array, faces: Array) -> Array:
+    """Area-weighted per-vertex normals. vertices: [B, V, 3]; faces: [F, 3]."""
+    v0 = vertices[:, faces[:, 0]]
+    v1 = vertices[:, faces[:, 1]]
+    v2 = vertices[:, faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)  # [B, F, 3] (area-weighted)
+    V = vertices.shape[1]
+
+    def accumulate(fn_b):
+        out = jnp.zeros((V, 3), vertices.dtype)
+        out = out.at[faces[:, 0]].add(fn_b)
+        out = out.at[faces[:, 1]].add(fn_b)
+        out = out.at[faces[:, 2]].add(fn_b)
+        return out
+
+    n = jax.vmap(accumulate)(fn)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)

@@ -19,6 +19,10 @@ import jax  # noqa: E402
 # matmul precision is lower (bf16-like passes) even off-TPU.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compile cache: the suite is compile-bound on CPU otherwise
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
