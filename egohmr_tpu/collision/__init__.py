@@ -1,0 +1,19 @@
+from .sdf import (
+    NearestResult,
+    bbox_mask,
+    collision_loss,
+    collision_ratio,
+    min_body_scene_distance,
+    nearest_vertex,
+    signed_distance,
+)
+
+__all__ = [
+    "NearestResult",
+    "bbox_mask",
+    "collision_loss",
+    "collision_ratio",
+    "min_body_scene_distance",
+    "nearest_vertex",
+    "signed_distance",
+]

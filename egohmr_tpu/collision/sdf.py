@@ -1,0 +1,139 @@
+"""Human-scene collision: batched signed distance to the SMPL surface.
+
+TPU-native replacement for the reference's COAP neural-occupancy collision
+stack (reference models/egohmr/egohmr.py:116-122,392-419,487-514,517-605).
+Design differences, on purpose:
+
+* The reference loops over the batch in Python and crops scene points to the
+  body bounding box with a data-dependent count capped at 4000 ("due to GPU
+  memory limit", egohmr.py:544). Here everything is batched with static
+  shapes: all P scene points are processed in fixed-size blocks and the bbox
+  crop becomes a weight mask — the formulation the reference itself uses for
+  its faster VolumetricSMPL variant (egohmr_volsmpl.py:608-626).
+* Instead of a pretrained part-wise occupancy network we use the actual SMPL
+  surface: sign(dist) from the nearest-vertex normal. occupancy > 0.5 of COAP
+  corresponds to sdf < 0 here. This keeps the collision loss, the guidance
+  gradient (via jax.grad through LBS + this SDF) and the eval collision ratio
+  fully functional with zero external weights.
+
+The inner product trick d² = |p|² + |v|² − 2 p·v turns the P x V distance
+computation into one [P,3]x[3,V] matmul per block (MXU) + row reductions
+(VPU). Block size keeps the [block, V] buffer in VMEM range.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class NearestResult(NamedTuple):
+    dist: Array  # [B, P] euclidean distance to the nearest vertex
+    idx: Array   # [B, P] int32 index of the nearest vertex
+
+
+def nearest_vertex(
+    points: Array, verts: Array, *, block_size: int = 2048
+) -> NearestResult:
+    """For each point, the nearest body vertex. points: [B,P,3]; verts: [B,V,3].
+
+    Blocked over P so the [block, V] distance tile stays small; the candidate
+    Pallas kernel for this op can swap in transparently (same signature).
+    """
+    B, P, _ = points.shape
+    V = verts.shape[1]
+    nblocks = -(-P // block_size)
+    pad = nblocks * block_size - P
+    pts = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+    pts = pts.reshape(B, nblocks, block_size, 3)
+
+    v_sq = jnp.sum(verts * verts, axis=-1)  # [B, V]
+
+    def per_block(args):
+        p_blk, verts_b, v_sq_b = args  # [block,3], [V,3], [V]
+        # d² = |p|² + |v|² − 2 p·v ; |p|² constant per row — skip it for argmin
+        dots = jnp.matmul(p_blk, verts_b.T)  # [block, V] — MXU
+        d2 = v_sq_b[None, :] - 2.0 * dots
+        idx = jnp.argmin(d2, axis=-1)
+        best = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+        d2_true = best + jnp.sum(p_blk * p_blk, axis=-1)
+        return jnp.sqrt(jnp.maximum(d2_true, 0.0)), idx.astype(jnp.int32)
+
+    def per_batch(p_b, verts_b, v_sq_b):
+        dists, idxs = jax.lax.map(
+            lambda blk: per_block((blk, verts_b, v_sq_b)), p_b
+        )
+        return dists.reshape(-1)[:P], idxs.reshape(-1)[:P]
+
+    dist, idx = jax.vmap(per_batch)(pts, verts, v_sq)
+    return NearestResult(dist=dist, idx=idx)
+
+
+def signed_distance(
+    points: Array,
+    verts: Array,
+    normals: Array,
+    *,
+    block_size: int = 2048,
+) -> Array:
+    """Signed distance of points to the body surface (negative = inside).
+
+    Sign = sign(dot(p - nearest_vert, nearest_normal)). points: [B,P,3];
+    verts/normals: [B,V,3] -> [B,P].
+    """
+    nn = nearest_vertex(points, verts, block_size=block_size)
+    nearest = jnp.take_along_axis(verts, nn.idx[..., None], axis=1)
+    n = jnp.take_along_axis(normals, nn.idx[..., None], axis=1)
+    sign = jnp.sign(jnp.sum((points - nearest) * n, axis=-1))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return nn.dist * sign
+
+
+def bbox_mask(points: Array, verts: Array, margin: float = 0.0) -> Array:
+    """Scene points inside the body's axis-aligned bbox
+    (static-shape equivalent of reference egohmr.py:406-412)."""
+    lo = jnp.min(verts, axis=1, keepdims=True) - margin
+    hi = jnp.max(verts, axis=1, keepdims=True) + margin
+    return jnp.all((points >= lo) & (points <= hi), axis=-1)
+
+
+def collision_loss(
+    sdf: Array, mask: Optional[Array] = None, *, robust_delta: float = 0.0
+) -> Array:
+    """Mean squared penetration depth per sample. sdf: [B,P] -> [B].
+
+    Functional equivalent of COAP's `collision_loss(scene_points, smpl_out)`
+    (reference egohmr.py:416-418): penalizes scene points inside the body.
+    Squared depth gives a smooth gradient for diffusion guidance.
+    """
+    depth = jnp.maximum(-sdf, 0.0)
+    pen = jnp.square(depth)
+    if mask is not None:
+        pen = pen * mask
+        denom = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+        return jnp.sum(pen, axis=-1) / denom
+    return jnp.mean(pen, axis=-1)
+
+
+def collision_ratio(sdf: Array, mask: Optional[Array] = None) -> Array:
+    """Fraction of scene points inside the body (reference eval_coll,
+    egohmr.py:506-513: denominator is the TOTAL number of scene points)."""
+    inside = (sdf < 0.0).astype(jnp.float32)
+    if mask is not None:
+        inside = inside * mask
+    return jnp.sum(inside, axis=-1) / sdf.shape[-1]
+
+
+def min_body_scene_distance(
+    verts: Array, scene: Array, *, block_size: int = 2048
+) -> Array:
+    """min over (body vertex, scene point) pairs of the distance, per sample.
+
+    Used for the contact-ratio metric (reference test_egohmr.py:497-505:
+    contact iff chamfer min distance < 0.02 m).
+    """
+    nn = nearest_vertex(verts, scene, block_size=block_size)
+    return jnp.min(nn.dist, axis=-1)

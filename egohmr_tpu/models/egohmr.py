@@ -1,0 +1,548 @@
+"""Stage-2 EgoHMR: scene-aware diffusion-based human mesh recovery (JAX).
+
+TPU-native restructuring of reference models/egohmr/egohmr.py:28-605. The
+monolithic `EgoHMR.forward` (which reruns the ResNet50 backbone and the scene
+PointNet on every one of the 50 denoising steps) is split into:
+
+  compute_condition   — image/scene/camera/translation conditioning + the
+                        beta head, computed ONCE per batch
+  make_denoise_fn     — the per-step x0 predictor: timestep embed + x_t embed
+                        + ModulatedGCN; CFG "diffuse_fuse" runs cond and
+                        uncond through ONE doubled-batch GCN call and splices
+                        visible joints (reference egohmr.py:239-254)
+  make_guidance_fn    — ∇_{x_t} collision score through rot6d→rotmat→LBS→SDF
+                        (reference guide_coll, egohmr.py:517-605) — fully
+                        batched, jit-safe, used inside the sampling lax.scan
+  model_outputs       — SMPL forward + full-image reprojection for the final
+                        denoised pose (reference egohmr.py:256-303)
+  compute_loss        — training/val losses (reference egohmr.py:307-449)
+
+Batch dict keys follow the reference dataloader (egobody_dataset.py:241-277)
+with images in NHWC.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..collision import bbox_mask, collision_loss, collision_ratio, signed_distance
+from ..geometry import aa_to_rotmat, perspective_projection, rot6d_to_rotmat
+from ..nn import (
+    fc_head_beta,
+    init_fc_head_beta,
+    init_input_process,
+    init_modulated_gcn,
+    init_pointnet,
+    init_resnet,
+    init_timestep_embedder,
+    init_transl_enc,
+    input_process,
+    modulated_gcn_forward,
+    pointnet_forward,
+    resnet_forward,
+    timestep_embed,
+    transl_enc,
+)
+from ..smpl import SMPLModel, lbs, vertex_normals
+from ..smpl import constants as C
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class EgoHMRConfig:
+    """Model hyperparameters (defaults = reference train_egohmr.py:17-67 +
+    configs/prohmr.yaml)."""
+
+    img_feat_dim: int = 2048
+    resnet_layers: int = 50
+    backbone_type: str = "resnet"  # "resnet" | "stub" (tiny conv, for tests)
+    scene_feat_dim: int = 512
+    pointnet_hidden_dim: int = 256
+    transl_embed_dim: int = 128
+    timestep_embed_dim: int = 512
+    input_process_dim: int = 512
+    gcn_hid_dim: int = 1024
+    gcn_layers: int = 4
+    with_focal_length: bool = True
+    with_bbox_info: bool = True
+    with_cam_center: bool = True
+    cond_mask_prob: float = 0.01
+    only_mask_img_cond: bool = True
+    pelvis_vis_loosen: bool = False
+    diffuse_fuse: bool = True
+    fx_norm_coeff: float = 1500.0
+    default_focal_length: float = 5000.0
+    img_size: int = 224
+    full_img_w: float = 1920.0
+    full_img_h: float = 1080.0
+
+    @property
+    def cam_feat_dim(self) -> int:
+        return (1 if self.with_focal_length else 0) + \
+               (3 if self.with_bbox_info else 0) + \
+               (2 if self.with_cam_center else 0)
+
+    @property
+    def context_feats_dim(self) -> int:
+        return (self.img_feat_dim + self.scene_feat_dim
+                + self.transl_embed_dim + self.cam_feat_dim)
+
+    @property
+    def gcn_in_dim(self) -> int:
+        return (self.context_feats_dim + self.input_process_dim
+                + self.timestep_embed_dim)
+
+
+class BodyRepStats(NamedTuple):
+    """144-d rot6d pose normalization stats (reference preprocess_stats.npz;
+    egobody_dataset.py:101-117)."""
+
+    mean: Array  # [144]
+    std: Array   # [144]
+
+
+class Condition(NamedTuple):
+    """Everything the denoiser needs that does not depend on (x_t, t)."""
+
+    cond: Array          # [B, 24, Dc] conditioning features (possibly masked)
+    cond_uncond: Array   # [B, 24, Dc] image-features-zeroed variant
+    vis_mask_smpl: Array  # [B, 24] bool per-joint visibility
+    pred_betas: Array    # [B, 10]
+    img_feats: Array     # [B, 2048]
+    scene_feats: Array   # [B, Ds]
+    input_transl: Array  # [B, 3]
+    scene_pcd: Array     # [B, P, 3] (canonicalized when scene_cano)
+    focal_length: Array  # [B, 2]
+    camera_center: Array  # [B, 2]
+
+
+def init_egohmr(key: Array, cfg: EgoHMRConfig, mean_betas: Optional[Array] = None) -> dict:
+    ks = jax.random.split(key, 7)
+    if mean_betas is None:
+        mean_betas = jnp.zeros((10,))
+    if cfg.backbone_type == "resnet":
+        backbone = init_resnet(ks[0], cfg.resnet_layers)
+    elif cfg.backbone_type == "stub":
+        from ..nn.core import conv_init, linear_init
+
+        backbone = {
+            "conv": conv_init(ks[0], 8, 8, 3, 16),
+            "proj": linear_init(jax.random.fold_in(ks[0], 1), 16, cfg.img_feat_dim),
+        }
+    else:
+        raise ValueError(cfg.backbone_type)
+    return {
+        "backbone": backbone,
+        "scene_enc": init_pointnet(ks[1], cfg.scene_feat_dim, cfg.pointnet_hidden_dim),
+        "transl_enc": init_transl_enc(ks[2], 3, cfg.transl_embed_dim),
+        "embed_timestep": init_timestep_embedder(ks[3], cfg.timestep_embed_dim),
+        "input_process": init_input_process(ks[4], 6, cfg.input_process_dim),
+        "diffusion_model": init_modulated_gcn(
+            ks[5], cfg.gcn_in_dim, cfg.gcn_hid_dim, 6, cfg.gcn_layers
+        ),
+        "beta_layer": init_fc_head_beta(ks[6], cfg.context_feats_dim, mean_betas),
+    }
+
+
+_ADJ = jnp.asarray(C.joint_adjacency())
+
+
+def _cam_feats(cfg: EgoHMRConfig, batch: Dict[str, Array]) -> Array:
+    """Camera conditioning features [B, cam_feat_dim]
+    (reference egohmr.py:194-205; order: [cam_center][bbox][fx])."""
+    feats = []
+    orig_fx = batch["fx"] * cfg.fx_norm_coeff
+    if cfg.with_cam_center:
+        feats.append(jnp.stack(
+            [batch["cam_cx"] / orig_fx, batch["cam_cy"] / orig_fx], axis=-1))
+    if cfg.with_bbox_info:
+        feats.append(jnp.stack(
+            [batch["box_center"][:, 0] / orig_fx,
+             batch["box_center"][:, 1] / orig_fx,
+             batch["box_size"] / orig_fx], axis=-1))
+    if cfg.with_focal_length:
+        feats.append(batch["fx"][:, None])
+    if not feats:
+        return jnp.zeros((batch["fx"].shape[0], 0))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def compute_condition(
+    params: dict,
+    cfg: EgoHMRConfig,
+    batch: Dict[str, Array],
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+    scene_cano: bool = True,
+    axis_name: Optional[str] = None,
+) -> Tuple[Condition, dict]:
+    """Run all conditioners once (reference egohmr.py:177-228, :262-265).
+
+    Returns (Condition, params-with-updated-BN-state).
+    """
+    B = batch["img"].shape[0]
+    new_params = dict(params)
+
+    if cfg.backbone_type == "resnet":
+        img_feats, new_params["backbone"] = resnet_forward(
+            params["backbone"], batch["img"], train=train, axis_name=axis_name
+        )
+    else:  # stub backbone for tests
+        from ..nn.core import conv2d, linear, relu as _relu
+
+        h = _relu(conv2d(params["backbone"]["conv"], batch["img"], stride=8))
+        img_feats = linear(params["backbone"]["proj"], jnp.mean(h, axis=(1, 2)))
+
+    # per-joint visibility from openpose confidences (reference :186-191)
+    vis_openpose = batch["orig_keypoints_2d"][:, :, -1] > 0
+    vis_openpose = vis_openpose.at[:, 8].set(True)  # pelvis always visible
+    o2s = jnp.asarray(
+        C.OPENPOSE_TO_SMPL_PELVIS_LOOSENED if cfg.pelvis_vis_loosen
+        else C.OPENPOSE_TO_SMPL
+    )
+    vis_mask_smpl = vis_openpose[:, o2s]  # [B, 24]
+
+    cam_feats = _cam_feats(cfg, batch)
+
+    input_transl = batch["smpl_params"]["transl"]
+    scene_pcd = batch["scene_pcd_verts_full"]
+    if scene_cano:
+        scene_pcd = scene_pcd - input_transl[:, None, :]
+    scene_feats = pointnet_forward(params["scene_enc"], scene_pcd)
+    transl_feat = transl_enc(params["transl_enc"], input_transl)
+
+    shared = jnp.concatenate([scene_feats, transl_feat, cam_feats], axis=-1)
+    shared24 = jnp.broadcast_to(shared[:, None, :], (B, 24, shared.shape[-1]))
+    img24 = jnp.broadcast_to(img_feats[:, None, :], (B, 24, img_feats.shape[-1]))
+    img24_vis = img24 * vis_mask_smpl[..., None].astype(img24.dtype)
+    cond = jnp.concatenate([img24_vis, shared24], axis=-1)  # [B, 24, Dc]
+
+    # unconditional branch: zero the image features only
+    # (only_mask_img_cond=True, reference :153-156; force_mask path)
+    if cfg.only_mask_img_cond:
+        cond_uncond = jnp.concatenate([jnp.zeros_like(img24), shared24], axis=-1)
+    else:
+        cond_uncond = jnp.zeros_like(cond)
+
+    # train-time condition dropout with prob cond_mask_prob (reference :159-167)
+    if train and cfg.cond_mask_prob > 0.0:
+        assert rng is not None, "training condition masking needs an rng"
+        drop = jax.random.bernoulli(rng, cfg.cond_mask_prob, (B,))
+        cond = jnp.where(drop[:, None, None], cond_uncond, cond)
+
+    # betas head sees the UNMASKED image features (reference :262-265)
+    beta_in = jnp.concatenate(
+        [img_feats, scene_feats, transl_feat, cam_feats], axis=-1
+    )
+    pred_betas = fc_head_beta(params["beta_layer"], beta_in)
+
+    # full-image camera (reference :282-291)
+    if cfg.with_focal_length:
+        fl = (batch["fx"] * cfg.fx_norm_coeff)[:, None].repeat(2, axis=1)
+        cc = jnp.stack([batch["cam_cx"], batch["cam_cy"]], axis=-1)
+    else:
+        fl = jnp.full((B, 2), cfg.default_focal_length)
+        cc = jnp.broadcast_to(
+            jnp.array([cfg.full_img_w / 2, cfg.full_img_h / 2]), (B, 2)
+        )
+
+    return (
+        Condition(
+            cond=cond,
+            cond_uncond=cond_uncond,
+            vis_mask_smpl=vis_mask_smpl,
+            pred_betas=pred_betas,
+            img_feats=img_feats,
+            scene_feats=scene_feats,
+            input_transl=input_transl,
+            scene_pcd=scene_pcd,
+            focal_length=fl,
+            camera_center=cc,
+        ),
+        new_params,
+    )
+
+
+def denoise_x0(
+    params: dict,
+    cfg: EgoHMRConfig,
+    cond: Condition,
+    x_t: Array,
+    t_orig: Array,
+    *,
+    fuse: bool,
+    train: bool = False,
+    axis_name: Optional[str] = None,
+) -> Tuple[Array, dict]:
+    """Predict normalized x0 rot6d from (x_t, t) (reference egohmr.py:230-257).
+
+    With `fuse` (eval-time diffuse_fuse, reference :239-254): run cond and
+    uncond through ONE GCN call on a doubled batch, then take the uncond
+    output (guidance_param = 0) with visible joints spliced from the cond
+    output. Returns (pred_x_start [B,144], new_params).
+    """
+    B = x_t.shape[0]
+    t_emb = timestep_embed(params["embed_timestep"], t_orig)  # [B, 512]
+    t_emb24 = jnp.broadcast_to(t_emb[:, None, :], (B, 24, t_emb.shape[-1]))
+    x_feat = input_process(params["input_process"], x_t.reshape(B, 24, 6))
+
+    if fuse:
+        feats = jnp.concatenate([
+            jnp.concatenate([cond.cond, x_feat, t_emb24], axis=-1),
+            jnp.concatenate([cond.cond_uncond, x_feat, t_emb24], axis=-1),
+        ], axis=0)  # [2B, 24, D]
+        out, new_gcn = modulated_gcn_forward(
+            params["diffusion_model"], _ADJ, feats, train=train, axis_name=axis_name
+        )
+        out_cond, out_uncond = out[:B], out[B:]
+        vis = cond.vis_mask_smpl[..., None]
+        out = jnp.where(vis, out_cond, out_uncond)
+    else:
+        feats = jnp.concatenate([cond.cond, x_feat, t_emb24], axis=-1)
+        out, new_gcn = modulated_gcn_forward(
+            params["diffusion_model"], _ADJ, feats, train=train, axis_name=axis_name
+        )
+
+    new_params = dict(params)
+    new_params["diffusion_model"] = new_gcn
+    return out.reshape(B, 24 * 6), new_params
+
+
+def make_denoise_fn(params: dict, cfg: EgoHMRConfig, cond: Condition, *,
+                    fuse: Optional[bool] = None):
+    """Closure for the diffusion sampler: (x_t, t_orig) -> pred x0."""
+    fuse = cfg.diffuse_fuse if fuse is None else fuse
+
+    def fn(x_t: Array, t_orig: Array) -> Array:
+        out, _ = denoise_x0(params, cfg, cond, x_t, t_orig, fuse=fuse, train=False)
+        return out
+
+    return fn
+
+
+# --------------------------------------------------------------- guidance
+# grad scaling per joint (reference egohmr.py:563-567): joints 0-2 x1,
+# joints 3-23 x2, then upper-body joints zeroed — only pelvis-adjacent leg
+# joints [1,2] (x1) and [4,5,7,8,10,11] (x2) keep gradient.
+_GUIDE_JOINT_SCALE = np.zeros((24,), np.float32)
+_GUIDE_JOINT_SCALE[[1, 2]] = 1.0
+_GUIDE_JOINT_SCALE[[4, 5, 7, 8, 10, 11]] = 2.0
+
+
+def make_guidance_fn(
+    params: dict,
+    cfg: EgoHMRConfig,
+    smpl_model: SMPLModel,
+    cond: Condition,
+    stats: BodyRepStats,
+    *,
+    sdf_block_size: int = 2048,
+):
+    """Collision-score gradient w.r.t. x_t (reference guide_coll,
+    egohmr.py:517-605), batched with static shapes.
+
+    The body is posed WITHOUT translation and compared against the
+    canonicalized scene cloud (scene_cano), exactly like the reference
+    (scene_pcd_verts = scene - transl; egohmr.py:211-213,537).
+    """
+    scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]  # [1,24,1]
+    betas = jax.lax.stop_gradient(cond.pred_betas)
+    scene = jax.lax.stop_gradient(cond.scene_pcd)
+
+    def neg_collision(x_t: Array) -> Array:
+        pose6d = x_t * stats.std + stats.mean
+        rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
+        out = lbs(smpl_model, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
+        normals = vertex_normals(out.vertices, smpl_model.faces)
+        mask = bbox_mask(scene, jax.lax.stop_gradient(out.vertices))
+        sdf = signed_distance(scene, out.vertices, normals,
+                              block_size=sdf_block_size)
+        loss = collision_loss(sdf, mask.astype(sdf.dtype))  # [B]
+        return -jnp.mean(loss)
+
+    def fn(x_t: Array, t: Array) -> Array:
+        grad = jax.grad(neg_collision)(x_t)  # [B, 144]
+        grad = grad.reshape(-1, 24, 6) * scale
+        return grad.reshape(x_t.shape[0], 144)
+
+    return fn
+
+
+# ----------------------------------------------------------------- outputs
+def model_outputs(
+    cfg: EgoHMRConfig,
+    smpl_model: SMPLModel,
+    cond: Condition,
+    pred_x_start: Array,
+    stats: BodyRepStats,
+) -> Dict[str, Array]:
+    """SMPL forward + projections for a denoised pose
+    (reference egohmr.py:256-303)."""
+    B = pred_x_start.shape[0]
+    pred_pose_6d = pred_x_start * stats.std + stats.mean
+    rotmat = rot6d_to_rotmat(pred_pose_6d, "diffusion").reshape(B, 24, 3, 3)
+
+    out = lbs(smpl_model, cond.pred_betas, rotmat[:, :1], rotmat[:, 1:],
+              pose2rot=False)
+    kp3d = out.joints  # [B, 45, 3]
+    kp3d_full = kp3d + cond.input_transl[:, None, :]
+    kp2d_full = perspective_projection(
+        kp3d, cond.input_transl, cond.focal_length, cond.camera_center
+    )
+    kp2d_full = jnp.stack(
+        [kp2d_full[..., 0] / cfg.full_img_w - 0.5,
+         kp2d_full[..., 1] / cfg.full_img_h - 0.5], axis=-1)
+
+    return {
+        "pred_x_start": pred_x_start,
+        "pred_pose_6d": pred_pose_6d,
+        "pred_pose_rotmat": rotmat,
+        "pred_betas": cond.pred_betas,
+        "pred_keypoints_3d": kp3d,
+        "pred_keypoints_3d_full": kp3d_full,
+        "pred_keypoints_2d_full": kp2d_full,
+        "pred_vertices": out.vertices,
+    }
+
+
+# ------------------------------------------------------------------ losses
+@dataclass(frozen=True)
+class LossWeights:
+    """Stage-2 loss weights (reference train_egohmr.py:39-49)."""
+
+    v2v: float = 0.5
+    keypoints_3d: float = 0.05
+    keypoints_3d_full: float = 0.02
+    keypoints_2d_full: float = 0.01
+    betas: float = 0.0005
+    body_pose: float = 0.001
+    global_orient: float = 0.001
+    pose_6d_ortho: float = 0.1
+    coap_penetration: float = 0.0002
+    start_coap_epoch: int = 3
+
+
+def compute_loss(
+    cfg: EgoHMRConfig,
+    weights: LossWeights,
+    smpl_neutral: SMPLModel,
+    smpl_male: SMPLModel,
+    smpl_female: SMPLModel,
+    batch: Dict[str, Array],
+    cond: Condition,
+    outputs: Dict[str, Array],
+    *,
+    train: bool,
+    use_collision: bool = False,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Weighted stage-2 loss (reference egohmr.py:307-449).
+
+    `use_collision` stands in for the reference's `cur_epoch >=
+    start_coap_epoch` gate — resolved by the caller so the jitted graph stays
+    static per phase.
+    """
+    B = outputs["pred_keypoints_3d"].shape[0]
+    s2o = jnp.asarray(C.SMPL_TO_OPENPOSE)
+
+    pred_kp3d = outputs["pred_keypoints_3d"][:, :24]
+    pred_kp3d_full = outputs["pred_keypoints_3d_full"][:, :24]
+    pred_kp2d_full = outputs["pred_keypoints_2d_full"][:, s2o]  # [B, 25, 2]
+
+    gt_kp2d_full = batch["orig_keypoints_2d"]  # [B, 25, 3]
+    gt_kp3d = batch["keypoints_3d"][:, :24]
+    gt_kp3d_full = batch["keypoints_3d_full"][:, :24]
+
+    # 2d full-image keypoint loss, conf-weighted L1, ignoring joints {1,9,12}
+    conf = gt_kp2d_full[:, :, 2:]
+    ign = jnp.ones((25,)).at[jnp.asarray(C.KEYPOINT_2D_IGNORE_JOINTS)].set(0.0)
+    conf = conf * ign[None, :, None]
+    loss_kp2d_full = jnp.mean(jnp.sum(
+        conf * jnp.abs(pred_kp2d_full - gt_kp2d_full[:, :, :2]), axis=(1, 2)))
+
+    # pelvis-aligned 3d loss (crop camera)
+    pa = lambda x: x - x[:, :1]
+    loss_kp3d = jnp.mean(jnp.sum(jnp.abs(pa(pred_kp3d) - pa(gt_kp3d)), axis=(1, 2)))
+    # global 3d loss
+    loss_kp3d_full = jnp.mean(jnp.sum(
+        jnp.abs(pred_kp3d_full - gt_kp3d_full), axis=(1, 2)))
+
+    # gendered GT body for v2v (reference :344-355)
+    gtp = batch["smpl_params"]
+    gt_out_m = lbs(smpl_male, gtp["betas"], gtp["global_orient"],
+                   gtp["body_pose"], transl=gtp.get("transl"), pose2rot=True)
+    gt_out_f = lbs(smpl_female, gtp["betas"], gtp["global_orient"],
+                   gtp["body_pose"], transl=gtp.get("transl"), pose2rot=True)
+    is_f = (batch["gender"] == 1)[:, None, None]
+    gt_vertices = jnp.where(is_f, gt_out_f.vertices, gt_out_m.vertices)
+    gt_joints = jnp.where(is_f, gt_out_f.joints, gt_out_m.joints)
+
+    pred_vertices = outputs["pred_vertices"]
+    loss_v2v = jnp.mean(jnp.abs(
+        (pred_vertices - pred_kp3d[:, :1])
+        - (gt_vertices - gt_joints[:, :1])))
+
+    # SMPL parameter losses (MSE on rotmats/betas; reference :374-383)
+    gt_go_rot = aa_to_rotmat(gtp["global_orient"].reshape(-1, 3)).reshape(B, 1, 3, 3)
+    gt_bp_rot = aa_to_rotmat(gtp["body_pose"].reshape(-1, 3)).reshape(B, 23, 3, 3)
+    pred_rot = outputs["pred_pose_rotmat"]
+    loss_global_orient = jnp.sum(
+        jnp.square(pred_rot[:, :1] - gt_go_rot)) / B
+    loss_body_pose = jnp.sum(jnp.square(pred_rot[:, 1:] - gt_bp_rot)) / B
+    loss_betas = jnp.sum(jnp.square(outputs["pred_betas"] - gtp["betas"])) / B
+
+    # rot6d orthogonality (reference :385-388, 'diffusion' layout)
+    p6 = outputs["pred_pose_6d"].reshape(-1, 3, 2)
+    gram = jnp.einsum("bij,bik->bjk", p6, p6)
+    loss_ortho = jnp.mean(jnp.square(gram - jnp.eye(2)))
+
+    # collision (penetration) loss — batched SDF replaces the COAP loop
+    if use_collision:
+        normals = vertex_normals(pred_vertices, smpl_neutral.faces)
+        mask = bbox_mask(cond.scene_pcd, jax.lax.stop_gradient(pred_vertices))
+        sdf = signed_distance(cond.scene_pcd, pred_vertices, normals)
+        loss_coll = jnp.mean(collision_loss(sdf, mask.astype(sdf.dtype)))
+    else:
+        loss_coll = jnp.zeros(())
+
+    total = (weights.v2v * loss_v2v
+             + weights.keypoints_3d * loss_kp3d
+             + weights.keypoints_3d_full * loss_kp3d_full
+             + weights.keypoints_2d_full * loss_kp2d_full
+             + weights.betas * loss_betas
+             + weights.body_pose * loss_body_pose
+             + weights.global_orient * loss_global_orient
+             + weights.pose_6d_ortho * loss_ortho
+             + weights.coap_penetration * loss_coll)
+
+    losses = {
+        "loss": total,
+        "loss_v2v": loss_v2v,
+        "loss_keypoints_3d": loss_kp3d,
+        "loss_keypoints_3d_full": loss_kp3d_full,
+        "loss_keypoints_2d_full": loss_kp2d_full,
+        "loss_betas": loss_betas,
+        "loss_body_pose": loss_body_pose,
+        "loss_global_orient": loss_global_orient,
+        "loss_pose_6d_ortho": loss_ortho,
+        "loss_coap_penetration": loss_coll,
+    }
+
+    if not train:
+        # visible-3d-joint error, the reference's model-selection metric
+        # (egohmr.py:357-372)
+        gt_kp2d_smpl = perspective_projection(
+            gt_joints, jnp.zeros((B, 3)), cond.focal_length, cond.camera_center
+        )[:, :24]
+        vis = ((gt_kp2d_smpl[..., 0] >= 0) & (gt_kp2d_smpl[..., 0] < cfg.full_img_w)
+               & (gt_kp2d_smpl[..., 1] >= 0) & (gt_kp2d_smpl[..., 1] < cfg.full_img_h))
+        err = jnp.linalg.norm(pa(pred_kp3d) - pa(gt_kp3d), axis=-1) * vis
+        losses["loss_keypoints_3d_vis_batch_sum"] = jnp.sum(err)
+        losses["joint_vis_num_batch"] = jnp.sum(vis)
+
+    return total, losses

@@ -1,0 +1,121 @@
+"""Modulated graph convolutional denoiser (functional JAX).
+
+Equivalent of reference models/egohmr/modulated_gcn/{modulated_gcn.py:60-116,
+modulated_gcn_conv.py:10-53}. The 24-node joint graph is tiny, so each layer
+is two [B*24, in]x[in, out] matmuls (MXU) plus 24x24 adjacency mixes (VPU);
+BatchNorm1d statistics reduce over (batch, joints) exactly like the torch
+`transpose->BatchNorm1d->transpose` dance.
+
+The reference's dead nonlocal/node-grouping branches
+(modulated_gcn.py:69-87,96-97 with default nonlocal_layer=False;
+SURVEY.md §2.2 "dead code") are intentionally not ported.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core import batchnorm, bn_init, relu
+
+Array = jax.Array
+
+
+def _xavier(key: Array, shape, gain: float) -> Array:
+    fan_in, fan_out = shape[-2], shape[-1]
+    bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+
+def modulated_gconv_init(
+    key: Array, in_dim: int, out_dim: int, n_nodes: int = 24
+) -> dict:
+    kw, km, kb = jax.random.split(key, 3)
+    bound = 1.0 / math.sqrt(out_dim)
+    return {
+        "W": _xavier(kw, (2, in_dim, out_dim), gain=1.414),
+        "M": _xavier(km, (n_nodes, out_dim), gain=1.414),
+        "adj2": jnp.full((n_nodes, n_nodes), 1e-6),
+        "bias": jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound),
+    }
+
+
+def modulated_gconv(p: dict, adj: Array, x: Array) -> Array:
+    """x: [B, J, in] -> [B, J, out] (reference modulated_gcn_conv.py:38-50)."""
+    h0 = x @ p["W"][0]
+    h1 = x @ p["W"][1]
+    a = adj + p["adj2"]
+    a = (a.T + a) / 2
+    eye = jnp.eye(a.shape[0], dtype=x.dtype)
+    m = p["M"]
+    out = jnp.einsum("jk,bkd->bjd", a * eye, m * h0) + jnp.einsum(
+        "jk,bkd->bjd", a * (1 - eye), m * h1
+    )
+    return out + p["bias"]
+
+
+def _graph_conv_init(key: Array, in_dim: int, out_dim: int) -> dict:
+    kg, = jax.random.split(key, 1)
+    return {"gconv": modulated_gconv_init(kg, in_dim, out_dim), "bn": bn_init(out_dim)}
+
+
+def _graph_conv(
+    p: dict, adj: Array, x: Array, *, train: bool, axis_name: Optional[str]
+) -> Tuple[Array, dict]:
+    """gconv -> BN(channels, stats over batch+joints) -> ReLU
+    (reference modulated_gcn.py:21-28; dropout p=0 in all configs)."""
+    out = modulated_gconv(p["gconv"], adj, x)
+    out, new_bn = batchnorm(
+        p["bn"], out, train=train, reduce_axes=(0, 1), axis_name=axis_name
+    )
+    return relu(out), {"gconv": p["gconv"], "bn": new_bn}
+
+
+def init_modulated_gcn(
+    key: Array,
+    in_dim: int,
+    hid_dim: int = 1024,
+    out_dim: int = 6,
+    num_layers: int = 4,
+    n_nodes: int = 24,
+) -> dict:
+    keys = jax.random.split(key, 2 * num_layers + 2)
+    params = {
+        "gconv_input": _graph_conv_init(keys[0], in_dim, hid_dim),
+        "gconv_layers": [
+            {
+                "gconv1": _graph_conv_init(keys[1 + 2 * i], hid_dim, hid_dim),
+                "gconv2": _graph_conv_init(keys[2 + 2 * i], hid_dim, hid_dim),
+            }
+            for i in range(num_layers)
+        ],
+        "gconv_output": modulated_gconv_init(keys[-1], hid_dim, out_dim, n_nodes),
+    }
+    return params
+
+
+def modulated_gcn_forward(
+    params: dict,
+    adj: Array,
+    x: Array,
+    *,
+    train: bool = False,
+    axis_name: Optional[str] = None,
+) -> Tuple[Array, dict]:
+    """x: [B, 24, in_dim] -> ([B, 24, out_dim], new_params)."""
+    new_params = dict(params)
+    out, new_params["gconv_input"] = _graph_conv(
+        params["gconv_input"], adj, x, train=train, axis_name=axis_name
+    )
+    new_layers = []
+    for blk in params["gconv_layers"]:
+        residual = out
+        out, n1 = _graph_conv(blk["gconv1"], adj, out, train=train, axis_name=axis_name)
+        out, n2 = _graph_conv(blk["gconv2"], adj, out, train=train, axis_name=axis_name)
+        out = residual + out
+        new_layers.append({"gconv1": n1, "gconv2": n2})
+    new_params["gconv_layers"] = new_layers
+    out = modulated_gconv(params["gconv_output"], adj, out)
+    return out, new_params

@@ -1,0 +1,195 @@
+"""Stage-2 training step: diffusion loss + optax AdamW, SPMD over a mesh.
+
+Replaces the reference's Python train loop with optimizer-inside-the-model
+(reference train_egohmr.py:146-163 + models/egohmr/egohmr.py:453-472,140-147)
+with a functional jitted step:
+
+  * the whole step (q_sample -> denoise -> SMPL -> losses -> grads -> AdamW)
+    is ONE compiled program per phase,
+  * data parallelism via `jax.shard_map` over a 1-D mesh: batch sharded,
+    params replicated, gradient/metric reduction with `psum`/`pmean` on ICI,
+    cross-replica BatchNorm included (the reference has no multi-device path
+    at all; SURVEY.md §2.7),
+  * BatchNorm running stats are threaded functionally and excluded from the
+    optimizer via an optax mask (the reference mutates module buffers).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..diffusion import DiffusionSchedule, q_sample
+from ..geometry import aa_to_rotmat, rotmat_to_rot6d
+from ..models import (
+    BodyRepStats,
+    EgoHMRConfig,
+    LossWeights,
+    compute_condition,
+    compute_loss,
+    denoise_x0,
+    model_outputs,
+)
+from ..nn.core import is_bn_state
+from ..smpl import SMPLModel
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4                 # reference configs/prohmr.yaml:5
+    weight_decay: float = 1e-4       # reference configs/prohmr.yaml:6
+    use_collision_loss: bool = False  # flips on at start_coap_epoch
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW over everything except BN running stats
+    (reference egohmr.py:140-147 builds AdamW over all submodules)."""
+    opt = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay)
+
+    def mask(tree):
+        def walk(node, path):
+            if isinstance(node, dict):
+                return {k: walk(v, path + (k,)) for k, v in node.items()}
+            if isinstance(node, (list, tuple)):
+                return type(node)(walk(v, path + (str(i),)) for i, v in enumerate(node))
+            return not is_bn_state(path)
+
+        return walk(tree, ())
+
+    return optax.masked(opt, mask)
+
+
+def gt_pose_to_x_start(batch: Dict, stats: BodyRepStats) -> Array:
+    """GT axis-angle -> rot6d('diffusion') -> normalized 144-d x0
+    (reference gaussian_diffusion.py:731-737)."""
+    B = batch["smpl_params"]["betas"].shape[0]
+    aa = jnp.concatenate(
+        [batch["smpl_params"]["global_orient"].reshape(B, 3),
+         batch["smpl_params"]["body_pose"].reshape(B, 69)], axis=1
+    ).reshape(B, 24, 3)
+    rotmat = aa_to_rotmat(aa.reshape(-1, 3))
+    rot6d = rotmat_to_rot6d(rotmat, "diffusion").reshape(B, 144)
+    return (rot6d - stats.mean) / stats.std
+
+
+def stage2_loss(
+    params: dict,
+    cfg: EgoHMRConfig,
+    weights: LossWeights,
+    schedule: DiffusionSchedule,
+    stats: BodyRepStats,
+    smpl_neutral: SMPLModel,
+    smpl_male: SMPLModel,
+    smpl_female: SMPLModel,
+    batch: Dict,
+    key: Array,
+    *,
+    use_collision: bool,
+    axis_name: Optional[str] = None,
+) -> Tuple[Array, Tuple[Dict, dict]]:
+    """One training forward: sample t ~ U, q_sample, denoise, loss.
+
+    Equivalent of reference diffusion.training_losses + model.training_step
+    (gaussian_diffusion.py:721-746, egohmr.py:453-472) minus the optimizer.
+    Returns (loss, (metrics, params_with_new_bn_state)).
+    """
+    B = batch["img"].shape[0]
+    k_t, k_noise, k_mask = jax.random.split(key, 3)
+
+    # UniformSampler (reference resample.py:61; the only sampler in use)
+    t = jax.random.randint(k_t, (B,), 0, schedule.num_timesteps)
+
+    x_start = gt_pose_to_x_start(batch, stats)
+    noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
+    x_t = q_sample(schedule, x_start, t, noise)
+
+    cond, p1 = compute_condition(
+        params, cfg, batch, train=True, rng=k_mask, axis_name=axis_name
+    )
+    t_orig = schedule.timestep_map[t]
+    x0_pred, p2 = denoise_x0(
+        params, cfg, cond, x_t, t_orig, fuse=False, train=True, axis_name=axis_name
+    )
+    outputs = model_outputs(cfg, smpl_neutral, cond, x0_pred, stats)
+    total, losses = compute_loss(
+        cfg, weights, smpl_neutral, smpl_male, smpl_female, batch, cond, outputs,
+        train=True, use_collision=use_collision,
+    )
+    new_params = dict(p1)
+    new_params["diffusion_model"] = p2["diffusion_model"]
+    return total, (losses, new_params)
+
+
+def _merge_bn_state(params: dict, new_params: dict):
+    """Take optimizer-updated weights but BN running stats from the fwd pass."""
+    def walk(p, n, path):
+        if isinstance(p, dict):
+            return {k: walk(p[k], n[k], path + (k,)) for k in p}
+        if isinstance(p, (list, tuple)):
+            return type(p)(walk(a, b, path + (str(i),))
+                           for i, (a, b) in enumerate(zip(p, n)))
+        return n if is_bn_state(path) else p
+
+    return walk(params, new_params, ())
+
+
+def make_train_step(
+    cfg: EgoHMRConfig,
+    tcfg: TrainConfig,
+    weights: LossWeights,
+    schedule: DiffusionSchedule,
+    stats: BodyRepStats,
+    smpl_neutral: SMPLModel,
+    smpl_male: SMPLModel,
+    smpl_female: SMPLModel,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+):
+    """Build the jitted SPMD train step.
+
+    With a mesh: batch sharded over `axis`, params/opt_state replicated,
+    `psum`-mean of grads and metrics, cross-replica BN. Without a mesh:
+    single-device jit.
+    """
+
+    def step(params, opt_state, batch, key, *, axis_name=None):
+        if axis_name is not None:
+            # decorrelate RNG across shards (noise/t draws must differ)
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        (loss, (metrics, fwd_params)), grads = jax.value_and_grad(
+            stage2_loss, has_aux=True
+        )(
+            params, cfg, weights, schedule, stats,
+            smpl_neutral, smpl_male, smpl_female, batch, key,
+            use_collision=tcfg.use_collision_loss, axis_name=axis_name,
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = _merge_bn_state(new_params, fwd_params)
+        return new_params, new_opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(functools.partial(step, axis_name=None))
+
+    def sharded_step(params, opt_state, batch, key):
+        f = functools.partial(step, axis_name=axis)
+        return jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(params, opt_state, batch, key)
+
+    return jax.jit(sharded_step)

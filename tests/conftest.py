@@ -15,6 +15,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize force-sets jax_platforms='axon,cpu'
+# AFTER env vars — override it back so the suite runs on the virtual CPU
+# mesh (config.update wins over the plugin's earlier update).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # Parity tests compare against float32 torch/numpy references; JAX's default
 # matmul precision is lower (bf16-like passes) even off-TPU.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,161 @@
+"""End-to-end stage-2 model tests: condition -> scan sampler -> outputs -> loss."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from egohmr_tpu.data.synthetic import synthetic_batch
+from egohmr_tpu.diffusion import GuidanceConfig, make_schedule, sample_loop
+from egohmr_tpu.models import (
+    BodyRepStats,
+    EgoHMRConfig,
+    LossWeights,
+    compute_condition,
+    compute_loss,
+    init_egohmr,
+    make_denoise_fn,
+    make_guidance_fn,
+    model_outputs,
+)
+from egohmr_tpu.smpl import make_synthetic_model
+
+CFG = EgoHMRConfig(
+    img_feat_dim=64,
+    backbone_type="stub",
+    scene_feat_dim=32,
+    pointnet_hidden_dim=16,
+    transl_embed_dim=16,
+    timestep_embed_dim=32,
+    input_process_dim=32,
+    gcn_hid_dim=32,
+    gcn_layers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    cfg = CFG
+    params = init_egohmr(key, cfg)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=256)
+    batch = synthetic_batch(2, num_scene_points=512, img_size=56)
+    return cfg, params, stats, smpl, batch
+
+
+def test_config_dims_match_reference():
+    cfg = EgoHMRConfig()
+    assert cfg.cam_feat_dim == 6
+    assert cfg.context_feats_dim == 2048 + 512 + 128 + 6  # 2694
+    assert cfg.gcn_in_dim == 2694 + 512 + 512  # 3718 (reference default)
+
+
+def test_condition_shapes(setup):
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    B = 2
+    assert cond.cond.shape == (B, 24, cfg.context_feats_dim)
+    assert cond.cond_uncond.shape == cond.cond.shape
+    assert cond.vis_mask_smpl.shape == (B, 24)
+    assert cond.pred_betas.shape == (B, 10)
+    # uncond zeroes exactly the image block
+    np.testing.assert_allclose(
+        np.asarray(cond.cond_uncond[:, :, : cfg.img_feat_dim]), 0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(cond.cond_uncond[:, :, cfg.img_feat_dim:]),
+        np.asarray(cond.cond[:, :, cfg.img_feat_dim:]),
+    )
+
+
+def test_vis_mask_gates_image_features(setup):
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    vis = np.asarray(cond.vis_mask_smpl)
+    img_block = np.asarray(cond.cond[:, :, : cfg.img_feat_dim])
+    for b in range(vis.shape[0]):
+        for j in range(24):
+            if not vis[b, j]:
+                np.testing.assert_allclose(img_block[b, j], 0.0)
+
+
+def test_full_sampling_pipeline(setup):
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    sched = make_schedule(50, "cosine", "ddim5")
+    denoise = make_denoise_fn(params, cfg, cond)
+
+    x, x0 = sample_loop(
+        sched, denoise, jax.random.PRNGKey(1), (2, 144), sampler="ddim"
+    )
+    outputs = model_outputs(cfg, smpl, cond, x0, stats)
+    assert outputs["pred_vertices"].shape == (2, 256, 3)
+    assert outputs["pred_keypoints_3d"].shape == (2, 45, 3)
+    assert outputs["pred_keypoints_2d_full"].shape == (2, 45, 2)
+    assert np.isfinite(np.asarray(outputs["pred_keypoints_2d_full"])).all()
+
+
+def test_guided_ddpm_pipeline(setup):
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    sched = make_schedule(10, "cosine", "")
+    denoise = make_denoise_fn(params, cfg, cond)
+    guide = make_guidance_fn(params, cfg, smpl, cond, stats, sdf_block_size=256)
+
+    x, x0 = sample_loop(
+        sched, denoise, jax.random.PRNGKey(1), (2, 144),
+        sampler="ddpm", guidance_fn=guide, guidance=GuidanceConfig(),
+    )
+    assert np.isfinite(np.asarray(x0)).all()
+
+
+def test_guidance_grad_zero_on_upper_body(setup):
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    guide = make_guidance_fn(params, cfg, smpl, cond, stats, sdf_block_size=256)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 144))
+    g = np.asarray(guide(x, jnp.zeros((2,), jnp.int32))).reshape(2, 24, 6)
+    upper = [0, 3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23]
+    np.testing.assert_allclose(g[:, upper], 0.0)
+
+
+def test_training_loss_finite_and_differentiable(setup):
+    cfg, params, stats, smpl, batch = setup
+    weights = LossWeights()
+
+    def loss_fn(p):
+        rng = jax.random.PRNGKey(0)
+        cond, _ = compute_condition(p, cfg, batch, train=True, rng=rng)
+        from egohmr_tpu.models.egohmr import denoise_x0
+
+        x_t = jax.random.normal(jax.random.PRNGKey(1), (2, 144))
+        t = jnp.array([3, 40], jnp.int32)
+        x0, _ = denoise_x0(p, cfg, cond, x_t, t, fuse=False, train=True)
+        outputs = model_outputs(cfg, smpl, cond, x0, stats)
+        total, losses = compute_loss(
+            cfg, weights, smpl, smpl, smpl, batch, cond, outputs,
+            train=True, use_collision=True,
+        )
+        return total
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # at least some gradient flows into the GCN and the backbone
+    gsum = sum(float(jnp.sum(jnp.abs(g))) for g in
+               jax.tree_util.tree_leaves(grads["diffusion_model"]))
+    assert gsum > 0
+
+
+def test_val_loss_has_vis_metric(setup):
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 144)) * 0.1
+    outputs = model_outputs(cfg, smpl, cond, x0, stats)
+    total, losses = compute_loss(
+        EgoHMRConfig(**{**CFG.__dict__}), LossWeights(), smpl, smpl, smpl,
+        batch, cond, outputs, train=False,
+    )
+    assert "loss_keypoints_3d_vis_batch_sum" in losses
+    assert "joint_vis_num_batch" in losses
