@@ -12,6 +12,7 @@ from .egohmr import (
     model_outputs,
 )
 from .discriminator import discriminator_forward, init_discriminator
+from . import prohmr
 
 __all__ = [
     "BodyRepStats",
