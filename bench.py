@@ -33,6 +33,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # first TPU compile of the full pipeline is ~15 min through the remote
+    # compiler; persist it so repeat bench runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from egohmr_tpu.data.synthetic import synthetic_batch

@@ -1,0 +1,209 @@
+"""Stage-2 inference + metric evaluation pipeline.
+
+Batched equivalent of reference test_egohmr.py:95-705. The reference's
+`for n in range(num_samples)` Python loop (test_egohmr.py:251-264) becomes a
+single device program: the per-image condition is computed once and tiled S
+times along the batch axis, so all S diverse samples for all B images run in
+one sampler scan.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..collision import (
+    bbox_mask,
+    collision_ratio,
+    min_body_scene_distance,
+    signed_distance,
+)
+from ..diffusion import DiffusionSchedule, GuidanceConfig, sample_loop
+from ..models import (
+    BodyRepStats,
+    Condition,
+    EgoHMRConfig,
+    compute_condition,
+    make_denoise_fn,
+    make_guidance_fn,
+    model_outputs,
+)
+from ..smpl import SMPLModel, lbs, vertex_normals
+from .metrics import (
+    apd,
+    diversity_std,
+    joint_visibility_mask,
+    mpjpe,
+    pa_mpjpe,
+    v2v,
+)
+
+Array = jax.Array
+
+
+def tile_condition(cond: Condition, s: int) -> Condition:
+    """Repeat each sample's condition S times along the batch axis."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, s, axis=0), cond)
+
+
+def sample_bodies(
+    params: dict,
+    cfg: EgoHMRConfig,
+    smpl: SMPLModel,
+    stats: BodyRepStats,
+    schedule: DiffusionSchedule,
+    batch: Dict,
+    key: Array,
+    num_samples: int,
+    *,
+    sampler: str = "ddpm",
+    with_guidance: bool = False,
+    guidance: GuidanceConfig = GuidanceConfig(),
+    use_stage1_transl: bool = True,
+) -> Tuple[Dict[str, Array], Condition]:
+    """Draw `num_samples` bodies per image; outputs have shape [B, S, ...].
+
+    `use_stage1_transl` injects the stage-1 predicted translation
+    (reference test_egohmr.py:243-245) when present in the batch.
+    """
+    if use_stage1_transl and "stage1_transl_full" in batch:
+        batch = dict(batch)
+        batch["smpl_params"] = dict(batch["smpl_params"])
+        batch["smpl_params"]["transl"] = batch["stage1_transl_full"]
+
+    B = batch["img"].shape[0]
+    cond, _ = compute_condition(params, cfg, batch)
+    cond_s = tile_condition(cond, num_samples)
+
+    denoise = make_denoise_fn(params, cfg, cond_s)
+    guidance_fn = (
+        make_guidance_fn(params, cfg, smpl, cond_s, stats)
+        if with_guidance else None
+    )
+    _, x0 = sample_loop(
+        schedule, denoise, key, (B * num_samples, 144),
+        sampler=sampler, guidance_fn=guidance_fn, guidance=guidance,
+    )
+    out = model_outputs(cfg, smpl, cond_s, x0, stats)
+    out = {k: v.reshape(B, num_samples, *v.shape[1:]) for k, v in out.items()}
+    return out, cond
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EvalResult:
+    """Per-image metrics, all [B] or [B, S]; distances in meters."""
+
+    g_mpjpe: Array
+    mpjpe_all: Array
+    mpjpe_vis: Array
+    mpjpe_invis: Array
+    pa_mpjpe_all: Array
+    pa_mpjpe_vis: Array
+    pa_mpjpe_invis: Array
+    v2v_all: Array
+    std_all: Array
+    std_vis: Array
+    std_invis: Array
+    apd_all: Array
+    apd_vis: Array
+    apd_invis: Array
+    coll_ratio: Optional[Array]
+    contact: Optional[Array]
+
+
+def evaluate_batch(
+    cfg: EgoHMRConfig,
+    smpl_neutral: SMPLModel,
+    smpl_male: SMPLModel,
+    smpl_female: SMPLModel,
+    batch: Dict,
+    outputs: Dict[str, Array],
+    cond: Condition,
+    *,
+    eval_with_vis_mask_pa: bool = True,
+    eval_collision: bool = True,
+    eval_contact: bool = True,
+    contact_thresh: float = 0.02,
+) -> EvalResult:
+    """Metrics per reference test_egohmr.py:374-505.
+
+    outputs: [B, S, ...] from `sample_bodies`.
+    """
+    B, S = outputs["pred_keypoints_3d"].shape[:2]
+    gtp = batch["smpl_params"]
+
+    # gendered GT body (reference :280-311)
+    gt_m = lbs(smpl_male, gtp["betas"], gtp["global_orient"], gtp["body_pose"],
+               transl=gtp["transl"], pose2rot=True)
+    gt_f = lbs(smpl_female, gtp["betas"], gtp["global_orient"],
+               gtp["body_pose"], transl=gtp["transl"], pose2rot=True)
+    is_f = (batch["gender"] == 1)[:, None, None]
+    gt_verts = jnp.where(is_f, gt_f.vertices, gt_m.vertices)
+    gt_joints45 = jnp.where(is_f, gt_f.joints, gt_m.joints)
+    gt_kp3d = gt_joints45[:, :24]
+
+    # visibility from projecting GT joints into the full image (:374-397)
+    vis = joint_visibility_mask(
+        gt_kp3d, cond.focal_length, cond.camera_center,
+        cfg.full_img_w, cfg.full_img_h).astype(jnp.float32)  # [B, 24]
+    invis = 1.0 - vis
+
+    pred_kp3d_full = outputs["pred_keypoints_3d_full"][:, :, :24]  # [B,S,24,3]
+    pred_kp3d = pred_kp3d_full  # same points; alignment handled per metric
+    gt_full = gt_kp3d[:, None]  # [B, 1, 24, 3]
+    gt_full_b = jnp.broadcast_to(gt_full, pred_kp3d.shape)
+
+    g_mpjpe = mpjpe(pred_kp3d_full, gt_full_b)                      # [B, S]
+    mp_all = mpjpe(pred_kp3d, gt_full_b, pelvis_align=True)
+    vis_s = jnp.broadcast_to(vis[:, None], (B, S, 24))
+    mp_vis = mpjpe(pred_kp3d, gt_full_b, pelvis_align=True, mask=vis_s)
+    mp_invis = mpjpe(pred_kp3d, gt_full_b, pelvis_align=True,
+                     mask=1.0 - vis_s)
+
+    vm = vis_s if eval_with_vis_mask_pa else None
+    pa_all = pa_mpjpe(pred_kp3d, gt_full_b, vis_mask=vm)
+    pa_vis = pa_mpjpe(pred_kp3d, gt_full_b, vis_mask=vm, mask=vis_s)
+    pa_invis = pa_mpjpe(pred_kp3d, gt_full_b, vis_mask=vm, mask=1.0 - vis_s)
+
+    pred_verts = outputs["pred_vertices"]  # [B, S, V, 3]
+    gt_verts_b = jnp.broadcast_to(gt_verts[:, None], pred_verts.shape)
+    v2v_all = v2v(pred_verts, gt_verts_b,
+                  pred_kp3d_full[:, :, 0], gt_full_b[:, :, 0])
+
+    # diversity over the S sample bodies (pelvis-aligned joints; :456-494)
+    samples = pred_kp3d_full - pred_kp3d_full[:, :, :1]
+    std_all = diversity_std(samples)
+    std_vis = diversity_std(samples, vis)
+    std_invis = diversity_std(samples, invis)
+    apd_all = apd(samples)
+    apd_vis = apd(samples, vis)
+    apd_invis = apd(samples, invis)
+
+    coll = None
+    contact = None
+    scene = cond.scene_pcd  # [B, P, 3] (canonical when scene_cano)
+    if eval_collision or eval_contact:
+        verts_flat = pred_verts.reshape(B * S, -1, 3)
+        # bodies are posed without transl; scene is canonicalized to match
+        scene_s = jnp.repeat(scene, S, axis=0)
+        if eval_collision:
+            normals = vertex_normals(verts_flat, smpl_neutral.faces)
+            mask = bbox_mask(scene_s, verts_flat)
+            sdf = signed_distance(scene_s, verts_flat, normals)
+            coll = collision_ratio(sdf, mask.astype(sdf.dtype)).reshape(B, S)
+        if eval_contact:
+            dmin = min_body_scene_distance(verts_flat, scene_s)
+            contact = (dmin < contact_thresh).astype(jnp.float32).reshape(B, S)
+
+    return EvalResult(
+        g_mpjpe=g_mpjpe, mpjpe_all=mp_all, mpjpe_vis=mp_vis,
+        mpjpe_invis=mp_invis, pa_mpjpe_all=pa_all, pa_mpjpe_vis=pa_vis,
+        pa_mpjpe_invis=pa_invis, v2v_all=v2v_all,
+        std_all=std_all, std_vis=std_vis, std_invis=std_invis,
+        apd_all=apd_all, apd_vis=apd_vis, apd_invis=apd_invis,
+        coll_ratio=coll, contact=contact,
+    )

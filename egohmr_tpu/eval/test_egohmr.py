@@ -1,0 +1,233 @@
+"""Stage-2 EgoHMR evaluation CLI.
+
+Equivalent of reference test_egohmr.py:1-703 (flags and printed metrics
+mirrored). The reference's nested Python loops (per-sample, per-image metric
+accumulation) collapse into jitted batch programs; metrics are accumulated on
+host and printed in mm like the reference (:630-671).
+
+Usage:
+  python -m egohmr_tpu.eval.test_egohmr --synthetic --num_samples 5
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="EgoHMR (stage 2) evaluation")
+    b = lambda x: str(x).lower() in ["true", "1"]
+    p.add_argument("--two_stage", type=b, default=True)
+    p.add_argument("--scene_crop_by_stage1_transl", type=b, default=True)
+    p.add_argument("--stage1_result_path", type=str, default="")
+    p.add_argument("--dataset_root", type=str, default="/mnt/ssd/egobody_release")
+    p.add_argument("--dataset_file", type=str, default="")
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="orbax dir, .npz, or reference torch .pt")
+    p.add_argument("--body_rep_stats", type=str, default="",
+                   help="preprocess_stats.npz path")
+    p.add_argument("--smpl_model_path", type=str, default="data/smpl")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--batch_size", type=int, default=5)
+    p.add_argument("--log_freq", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scene_cano", type=b, default=True)
+    p.add_argument("--scene_type", type=str, default="cube")
+    p.add_argument("--num_diffusion_timesteps", type=int, default=50)
+    p.add_argument("--timestep_respacing_eval", type=str, default="ddpm",
+                   choices=["ddim5", "ddpm"])
+    p.add_argument("--diffuse_fuse", type=b, default=True)
+    p.add_argument("--with_coap_grad", type=b, default=True,
+                   help="collision-guided sampling (DDPM only)")
+    p.add_argument("--cond_grad_weight", type=float, default=2.0)
+    p.add_argument("--only_mask_img_cond", type=b, default=True)
+    p.add_argument("--pelvis_vis_loosen", type=b, default=True)
+    p.add_argument("--eval_spacing", type=int, default=1)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--eval_coll_loss", type=b, default=True)
+    p.add_argument("--eval_contact_score", type=b, default=True)
+    p.add_argument("--eval_with_vis_mask_pa", type=b, default=True)
+    p.add_argument("--with_focal_length", type=b, default=True)
+    p.add_argument("--with_cam_center", type=b, default=True)
+    p.add_argument("--with_bbox_info", type=b, default=True)
+    p.add_argument("--add_bbox_scale", type=float, default=1.2)
+    p.add_argument("--num_batches", type=int, default=0,
+                   help="limit evaluated batches (0 = all)")
+    p.add_argument("--save_results", type=b, default=False)
+    p.add_argument("--save_root", type=str, default="output_results")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from ..diffusion import GuidanceConfig, make_schedule
+    from ..models import BodyRepStats, EgoHMRConfig, init_egohmr
+    from ..smpl import create as smpl_create, make_synthetic_model
+    from .pipeline import evaluate_batch, sample_bodies
+
+    cfg = EgoHMRConfig(
+        only_mask_img_cond=args.only_mask_img_cond,
+        pelvis_vis_loosen=args.pelvis_vis_loosen,
+        diffuse_fuse=args.diffuse_fuse,
+        with_focal_length=args.with_focal_length,
+        with_cam_center=args.with_cam_center,
+        with_bbox_info=args.with_bbox_info,
+    )
+
+    respacing = ("" if args.timestep_respacing_eval == "ddpm"
+                 else args.timestep_respacing_eval)
+    schedule = make_schedule(args.num_diffusion_timesteps, "cosine", respacing)
+    sampler = "ddpm" if respacing == "" else "ddim"
+    with_guidance = args.with_coap_grad and sampler == "ddpm"
+    guidance = GuidanceConfig(cond_grad_weight=args.cond_grad_weight)
+
+    # ---------------- model + stats
+    if args.synthetic:
+        smpl_n = smpl_m = smpl_f = make_synthetic_model(num_vertices=6890)
+        params = init_egohmr(jax.random.PRNGKey(0), cfg)
+        stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    else:
+        smpl_n = smpl_create(args.smpl_model_path, "neutral")
+        smpl_m = smpl_create(args.smpl_model_path, "male")
+        smpl_f = smpl_create(args.smpl_model_path, "female")
+        params = _load_params(args.checkpoint, cfg)
+        from ..data.stats import load_stats
+
+        mean, std = load_stats(args.body_rep_stats)
+        stats = BodyRepStats(mean=jnp.asarray(mean), std=jnp.asarray(std))
+
+    # ---------------- data
+    if args.synthetic:
+        from ..data.synthetic import synthetic_batch
+
+        def batches():
+            for i in range(args.num_batches or 4):
+                yield synthetic_batch(args.batch_size, seed=100 + i)
+
+    else:
+        from ..data.egobody import EgoBodyDataset
+
+        test_file = args.dataset_file or os.path.join(
+            args.dataset_root, "annotation_egocentric_smpl_npz",
+            "egocapture_test_smpl.npz")
+        ds = EgoBodyDataset(
+            dataset_file=test_file, data_root=args.dataset_root,
+            split="test", train=False, spacing=args.eval_spacing,
+            scene_type=args.scene_type, scene_cano=args.scene_cano,
+            add_scale=args.add_bbox_scale,
+            load_stage1_transl=args.two_stage,
+            stage1_result_path=args.stage1_result_path,
+            scene_crop_by_stage1_transl=args.scene_crop_by_stage1_transl,
+        )
+
+        def batches():
+            it = ds.iter_batches(args.batch_size, shuffle=False)
+            from .test_egohmr import _to_device  # self
+
+            for i, b in enumerate(it):
+                if args.num_batches and i >= args.num_batches:
+                    break
+                yield _to_device(b)
+
+    @jax.jit
+    def run_batch(batch, key):
+        outputs, cond = sample_bodies(
+            params, cfg, smpl_n, stats, schedule, batch, key,
+            args.num_samples, sampler=sampler, with_guidance=with_guidance,
+            guidance=guidance, use_stage1_transl=args.two_stage,
+        )
+        return evaluate_batch(
+            cfg, smpl_n, smpl_m, smpl_f, batch, outputs, cond,
+            eval_with_vis_mask_pa=args.eval_with_vis_mask_pa,
+            eval_collision=args.eval_coll_loss,
+            eval_contact=args.eval_contact_score,
+        ), outputs
+
+    key = jax.random.PRNGKey(args.seed)
+    acc: dict = {}
+    saved = []
+    n_images = 0
+    for i, batch in enumerate(batches()):
+        key, sub = jax.random.split(key)
+        res, outputs = run_batch(batch, sub)
+        res = jax.device_get(res)
+        n_images += len(np.asarray(res.g_mpjpe))
+        for name in ("g_mpjpe", "mpjpe_all", "mpjpe_vis", "mpjpe_invis",
+                     "pa_mpjpe_all", "pa_mpjpe_vis", "pa_mpjpe_invis",
+                     "v2v_all", "std_all", "std_vis", "std_invis",
+                     "apd_all", "apd_vis", "apd_invis", "coll_ratio",
+                     "contact"):
+            v = getattr(res, name)
+            if v is None:
+                continue
+            acc.setdefault(name, []).append(np.asarray(v).reshape(-1))
+        if args.save_results:
+            saved.append({
+                "pred_pose_6d": np.asarray(outputs["pred_pose_6d"]),
+                "pred_betas": np.asarray(outputs["pred_betas"]),
+            })
+        if i % max(args.log_freq, 1) == 0:
+            print(f"[batch {i}] images={n_images} "
+                  f"G-MPJPE={np.concatenate(acc['g_mpjpe']).mean()*1000:.1f}mm")
+
+    summary = {}
+    for name, chunks in acc.items():
+        v = np.concatenate(chunks)
+        scale = 1000.0 if ("mpjpe" in name or "v2v" in name
+                           or "std" in name or "apd" in name) else 1.0
+        summary[name] = float(v.mean() * scale)
+    print(json.dumps(summary, indent=2))
+
+    if args.save_results:
+        os.makedirs(args.save_root, exist_ok=True)
+        with open(os.path.join(args.save_root, "results.pkl"), "wb") as f:
+            pickle.dump(saved, f)
+        print(f"saved results to {args.save_root}/results.pkl")
+    return summary
+
+
+def _load_params(checkpoint: str, cfg):
+    import jax
+
+    from ..models import init_egohmr
+
+    if checkpoint.endswith(".pt"):
+        from ..interop.torch_convert import convert_egohmr, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(checkpoint)
+        return convert_egohmr(sd, num_layers=cfg.gcn_layers)
+    from ..utils.checkpoint import restore_checkpoint
+
+    template = init_egohmr(jax.random.PRNGKey(0), cfg)
+    state = restore_checkpoint(checkpoint)
+    return state["params"] if "params" in state else state
+
+
+def _to_device(batch):
+    import jax.numpy as jnp
+
+    def conv(x):
+        if isinstance(x, dict):
+            return {k: conv(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return x
+        return jnp.asarray(x) if not isinstance(x, str) else x
+
+    return {k: conv(v) for k, v in batch.items()
+            if k not in ("imgname", "transl_needs_recompute",
+                         "transf_kinect2holo", "transf_holo2pv",
+                         "keypoints_2d_vis_mask")}
+
+
+if __name__ == "__main__":
+    main()

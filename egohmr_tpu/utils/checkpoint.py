@@ -1,0 +1,96 @@
+"""Checkpoint save/restore with resume support (orbax).
+
+The reference only ever saves `state_dict` snapshots and has NO resume logic
+(SURVEY.md §5; reference train_egohmr.py:215-234). Here a checkpoint bundles
+params + optimizer state + step + normalization stats, and training can
+resume exactly.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
+    """state: arbitrary pytree (params/opt_state/step/stats...)."""
+    path = os.path.abspath(path)
+    ckptr = _ckptr()
+    ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
+    """Restore a checkpoint saved by `save_checkpoint`.
+
+    `template` (same-structure pytree) restores with matching shardings and
+    dtypes; without it, arrays come back as numpy.
+    """
+    path = os.path.abspath(path)
+    ckptr = _ckptr()
+    if template is None:
+        return ckptr.restore(path)
+    import orbax.checkpoint as ocp
+
+    return ckptr.restore(path, item=template)
+
+
+def latest_checkpoint(ckpt_dir: str, prefix: str = "step_") -> Optional[str]:
+    """Find the newest step checkpoint under `ckpt_dir`."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith(prefix):
+            try:
+                steps.append((int(name[len(prefix):]), name))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    steps.sort()
+    return os.path.join(ckpt_dir, steps[-1][1])
+
+
+def save_npz(path: str, tree: Any) -> None:
+    """Flat .npz fallback (portable, torch-free interchange)."""
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}{k}.")
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}{i}.")
+        else:
+            flat[prefix[:-1]] = np.asarray(node)
+
+    walk(tree, "")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_npz_into(path: str, template: Any) -> Any:
+    """Load a flat .npz (from save_npz) back into `template`'s structure."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            return {k: walk(v, f"{prefix}{k}.") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(
+                walk(v, f"{prefix}{i}.") for i, v in enumerate(node))
+        import jax.numpy as jnp
+
+        return jnp.asarray(flat[prefix[:-1]])
+
+    return walk(template, "")
