@@ -35,7 +35,9 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+    # copy: torch .numpy() shares memory with the tensor and jnp.asarray on
+    # CPU is zero-copy — defensive copy severs any aliasing with live modules
+    return {k: v.detach().cpu().numpy().copy() for k, v in obj.items()
             if hasattr(v, "detach")}
 
 

@@ -14,7 +14,10 @@ pytestmark = requires_reference
 
 
 def _sd(module):
-    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+    # .copy() matters: torch .numpy() shares memory with the live module, and
+    # jnp.asarray on CPU is zero-copy — a later torch forward would mutate the
+    # converted params through the alias (BN running stats do exactly that).
+    return {k: v.detach().numpy().copy() for k, v in module.state_dict().items()}
 
 
 class TestResNet:
