@@ -36,13 +36,28 @@ class NearestResult(NamedTuple):
 
 
 def nearest_vertex(
-    points: Array, verts: Array, *, block_size: int = 2048
+    points: Array, verts: Array, *, block_size: int = 2048,
+    use_pallas: Optional[bool] = None,
 ) -> NearestResult:
     """For each point, the nearest body vertex. points: [B,P,3]; verts: [B,V,3].
 
-    Blocked over P so the [block, V] distance tile stays small; the candidate
-    Pallas kernel for this op can swap in transparently (same signature).
+    On TPU the fused Pallas kernel computes the argmin entirely in VMEM
+    (collision/knn_pallas.py); elsewhere a blocked XLA path is used. The
+    distance is always recomputed from the gathered vertex so gradients flow
+    through the gather (exact subgradient) regardless of backend.
     """
+    if use_pallas is None:
+        # the kernel holds the full [block_p, V] tile in VMEM — only worth it
+        # (and only safe) for body-sized V; large-V calls use the XLA path
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and verts.shape[1] <= 8192)
+    if use_pallas:
+        from .knn_pallas import nearest_vertex_idx_pallas
+
+        idx = nearest_vertex_idx_pallas(points, verts, block_p=512)
+        nearest = jnp.take_along_axis(verts, idx[..., None], axis=1)
+        dist = jnp.linalg.norm(points - nearest, axis=-1)
+        return NearestResult(dist=dist, idx=idx)
     B, P, _ = points.shape
     V = verts.shape[1]
     nblocks = -(-P // block_size)
