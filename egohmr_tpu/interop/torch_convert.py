@@ -78,9 +78,10 @@ def convert_resnet(sd: Flat, prefix: str = "backbone.",
                 "bn1": _bn(sd, base + "bn1"),
                 "conv2": _conv(sd, base + "conv2"),
                 "bn2": _bn(sd, base + "bn2"),
-                "conv3": _conv(sd, base + "conv3"),
-                "bn3": _bn(sd, base + "bn3"),
             }
+            if base + "conv3.weight" in sd:  # bottleneck (50/101/152)
+                blk["conv3"] = _conv(sd, base + "conv3")
+                blk["bn3"] = _bn(sd, base + "bn3")
             if base + "downsample.0.weight" in sd:
                 blk["downsample"] = {
                     "conv": _conv(sd, base + "downsample.0"),

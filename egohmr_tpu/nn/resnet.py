@@ -26,39 +26,75 @@ BOTTLENECK_DEPTHS = {50, 101, 152}
 
 
 def init_resnet(key: Array, num_layers: int = 50) -> dict:
-    """Initialize ResNet params (bottleneck variants only; the reference
-    config always selects ResNet50 — configs/prohmr.yaml:43)."""
-    if num_layers not in BOTTLENECK_DEPTHS:
-        raise NotImplementedError("only bottleneck ResNets (50/101/152)")
+    """Initialize ResNet params (the reference config selects ResNet50 —
+    configs/prohmr.yaml:43 — but the factory supports 18..152 like
+    reference models/resnet.py:152-163)."""
     blocks = RESNET_LAYERS[num_layers]
+    bottleneck = num_layers in BOTTLENECK_DEPTHS
     keys = jax.random.split(key, 64)
     ki = iter(keys)
 
     params = {"conv1": conv_init(next(ki), 7, 7, 3, 64), "bn1": bn_init(64)}
     inplanes = 64
+    expansion = 4 if bottleneck else 1
     for li, (planes, n_blocks, stride) in enumerate(
         zip((64, 128, 256, 512), blocks, (1, 2, 2, 2)), start=1
     ):
         layer = []
         for b in range(n_blocks):
             s = stride if b == 0 else 1
-            blk = {
-                "conv1": conv_init(next(ki), 1, 1, inplanes, planes),
-                "bn1": bn_init(planes),
-                "conv2": conv_init(next(ki), 3, 3, planes, planes),
-                "bn2": bn_init(planes),
-                "conv3": conv_init(next(ki), 1, 1, planes, planes * 4),
-                "bn3": bn_init(planes * 4),
-            }
-            if s != 1 or inplanes != planes * 4:
+            if bottleneck:
+                blk = {
+                    "conv1": conv_init(next(ki), 1, 1, inplanes, planes),
+                    "bn1": bn_init(planes),
+                    "conv2": conv_init(next(ki), 3, 3, planes, planes),
+                    "bn2": bn_init(planes),
+                    "conv3": conv_init(next(ki), 1, 1, planes, planes * 4),
+                    "bn3": bn_init(planes * 4),
+                }
+            else:
+                blk = {
+                    "conv1": conv_init(next(ki), 3, 3, inplanes, planes),
+                    "bn1": bn_init(planes),
+                    "conv2": conv_init(next(ki), 3, 3, planes, planes),
+                    "bn2": bn_init(planes),
+                }
+            if s != 1 or inplanes != planes * expansion:
                 blk["downsample"] = {
-                    "conv": conv_init(next(ki), 1, 1, inplanes, planes * 4),
-                    "bn": bn_init(planes * 4),
+                    "conv": conv_init(next(ki), 1, 1, inplanes,
+                                      planes * expansion),
+                    "bn": bn_init(planes * expansion),
                 }
             layer.append(blk)
-            inplanes = planes * 4
+            inplanes = planes * expansion
         params[f"layer{li}"] = layer
     return params
+
+
+def _basic_block(
+    p: dict, x: Array, stride: int, *, train: bool, axis_name: Optional[str]
+) -> Tuple[Array, dict]:
+    """BasicBlock (ResNet18/34; reference models/resnet.py:28-57)."""
+    new_p = dict(p)
+    out = conv2d(p["conv1"], x, stride=stride, padding=1)
+    out, new_p["bn1"] = batchnorm(
+        p["bn1"], out, train=train, reduce_axes=(0, 1, 2), axis_name=axis_name
+    )
+    out = relu(out)
+    out = conv2d(p["conv2"], out, padding=1)
+    out, new_p["bn2"] = batchnorm(
+        p["bn2"], out, train=train, reduce_axes=(0, 1, 2), axis_name=axis_name
+    )
+    if "downsample" in p:
+        res = conv2d(p["downsample"]["conv"], x, stride=stride)
+        res, ds_bn = batchnorm(
+            p["downsample"]["bn"], res, train=train, reduce_axes=(0, 1, 2),
+            axis_name=axis_name,
+        )
+        new_p["downsample"] = {"conv": p["downsample"]["conv"], "bn": ds_bn}
+    else:
+        res = x
+    return relu(out + res), new_p
 
 
 def _bottleneck(
@@ -117,7 +153,8 @@ def resnet_forward(
         new_layer = []
         for b, blk in enumerate(layer):
             stride = (2 if li > 1 else 1) if b == 0 else 1
-            out, nb = _bottleneck(blk, out, stride, train=train, axis_name=axis_name)
+            block_fn = _bottleneck if "conv3" in blk else _basic_block
+            out, nb = block_fn(blk, out, stride, train=train, axis_name=axis_name)
             new_layer.append(nb)
         new_params[f"layer{li}"] = new_layer
 

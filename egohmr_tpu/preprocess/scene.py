@@ -108,6 +108,92 @@ def preprocess_s1(
         pickle.dump(pcd_verts_dict, f, protocol=2)
 
 
+def preprocess_s2(
+    data_root: str,
+    save_root: str,
+    split: str,
+    smpl_models: Dict[str, "object"],   # {'male': SMPLModel, 'female': ...}
+    annotation_file: Optional[str] = None,
+    stage1_result_path: Optional[str] = None,
+    cube_size: float = 2.0,
+    scene_verts_num_target: int = 20000,
+    augment: bool = True,
+    seed: int = 0,
+) -> None:
+    """Cube-crop preprocessing (reference preprocess_scene_s2_for_train.py /
+    _for_test.py): per frame, crop a `cube_size` cube around the GT body
+    center (train, with random rotation/shift) or around the stage-1
+    predicted translation (test, deterministic), saved as per-frame .npy in
+    scene coordinates. GT bodies are posed with the JAX SMPL model in batch
+    instead of per-frame torch forwards.
+    """
+    import jax.numpy as jnp
+
+    from ..data.egobody import parse_img_full_path
+    from ..smpl import lbs
+
+    scene_name_dict = _scene_names(data_root)
+    ann = annotation_file or join(
+        data_root, f"smpl_spin_npz/egocapture_{split}_smpl.npz")
+    data = np.load(ann)
+    with open(join(data_root, "transf_matrices_all_seqs.pkl"), "rb") as f:
+        transf_matrices = pickle.load(f)
+
+    imgnames = [str(x) for x in data["imgname"]]
+    gender = [str(g) for g in data["gender"]]
+    stage1_transl = None
+    if stage1_result_path:
+        with open(stage1_result_path, "rb") as f:
+            stage1_transl = np.asarray(
+                pickle.load(f)["pred_cam_full_list"], np.float64)
+
+    mesh_cache: Dict[str, np.ndarray] = {}
+    rng = np.random.RandomState(seed) if augment else None
+
+    for i, imgname in enumerate(imgnames):
+        _, seq, holo_time, frame = parse_img_full_path(imgname)
+        recording = imgname.split("/")[-4]
+        scene = scene_name_dict[recording]
+        seq_t = transf_matrices[basename(seq)]
+        k2h = seq_t["trans_kinect2holo"].astype(np.float64)
+        h2p = seq_t["trans_world2pv"][frame.split("_")[0]].astype(np.float64)
+        s2m = _load_scene_to_main(data_root, recording, scene)
+        pv_to_scene = np.linalg.inv(ADD_TRANS @ h2p @ k2h @ s2m)
+
+        if scene not in mesh_cache:
+            mesh_cache[scene] = read_mesh_vertices(
+                join(data_root, "scene_mesh", scene, scene + ".obj"))
+        scene_verts = mesh_cache[scene]
+
+        if stage1_transl is not None:
+            # test path: cube centered at the predicted translation
+            center = _apply(stage1_transl[i][None], pv_to_scene)[0]
+            body_verts_scene = None
+            item_rng = None
+        else:
+            model = smpl_models["male" if gender[i] == "m" else "female"]
+            out = lbs(
+                model,
+                jnp.asarray(data["shape"][i:i + 1], jnp.float32),
+                jnp.asarray(data["global_orient_pv"][i:i + 1], jnp.float32),
+                jnp.asarray(data["pose"][i:i + 1], jnp.float32),
+                transl=jnp.asarray(data["transl_pv"][i:i + 1], jnp.float32),
+                pose2rot=True,
+            )
+            body_pv = np.asarray(out.vertices[0], np.float64)
+            body_verts_scene = _apply(body_pv, pv_to_scene)
+            center = body_verts_scene.mean(axis=0)
+            item_rng = rng
+
+        crop = crop_scene_cube(
+            scene_verts, center, cube_size=cube_size,
+            target=scene_verts_num_target, body_verts=body_verts_scene,
+            rng=item_rng)
+        out_dir = join(save_root, split, recording, holo_time)
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(join(out_dir, frame[:-4] + ".npy"), crop)
+
+
 def rotate_y(verts: np.ndarray, center: np.ndarray, angle: float) -> np.ndarray:
     """Rotate about the (vertical) y axis around `center` in x-z
     (reference preprocess_scene_s2_for_train.py:139-163)."""

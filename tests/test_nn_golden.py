@@ -51,6 +51,22 @@ class TestResNet:
         got, _ = resnet_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
 
+    def test_resnet18_basic_block_matches(self, rng):
+        import torch
+        from models.resnet import resnet18
+
+        from egohmr_tpu.interop.torch_convert import convert_resnet
+        from egohmr_tpu.nn import resnet_forward
+
+        torch.manual_seed(1)
+        m = resnet18(pretrained=False).eval()
+        x = rng.randn(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+        params = convert_resnet(_sd(m), prefix="", num_layers=18)
+        got, _ = resnet_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
 
 class TestPointNet:
     def test_eval_forward_matches(self, rng):
