@@ -195,13 +195,21 @@ def get_example(
 
     trans = crop_transform(cx_flip, center_y, width, height,
                            patch_size, patch_size, aug.scale, aug.rot)
-    patch = warp_affine(work, trans, patch_size, patch_size)  # RGB float
+    patch = None
+    if work.dtype == np.uint8:
+        # native fused warp + jitter + normalize (C++, one pass)
+        from .. import native
 
-    # color jitter + normalize, channel-first like the reference (:377-383)
-    patch = patch.transpose(2, 0, 1)
-    for c in range(3):
-        patch[c] = np.clip(patch[c] * aug.color_scale[c], 0, 255)
-        patch[c] = (patch[c] - mean[c]) / std[c]
+        patch = native.warp_affine_norm(
+            work, trans, patch_size, color_scale=aug.color_scale,
+            mean=mean, std=std, chw=True)
+    if patch is None:
+        patch = warp_affine(work, trans, patch_size, patch_size)
+        # color jitter + normalize, channel-first like the reference (:377-383)
+        patch = patch.transpose(2, 0, 1)
+        for c in range(3):
+            patch[c] = np.clip(patch[c] * aug.color_scale[c], 0, 255)
+            patch[c] = (patch[c] - mean[c]) / std[c]
 
     # 2d keypoints in the crop (:389-401)
     kp2d = keypoints_2d.copy()
