@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--quick", action="store_true",
                     help="small model + batch (smoke test)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="run conditioning + denoiser in bfloat16 (MXU-native);"
+                         " sampler math and SMPL stay float32")
     ap.add_argument("--skip-baseline", action="store_true",
                     help="skip the reference-architecture variant")
     args = ap.parse_args()
@@ -71,12 +74,34 @@ def main():
     schedule = make_schedule(50, "cosine", "ddim5")
     batch = synthetic_batch(B, num_scene_points=P, img_size=img)
 
+    if args.bf16:
+        bf16 = jnp.bfloat16
+        nn_params = jax.tree_util.tree_map(
+            lambda x: x.astype(bf16) if x.dtype == jnp.float32 else x, params)
+    else:
+        nn_params = params
+
     # ---------------- fused pipeline (ours): conditioning once, scan the GCN
     def fused(batch, key):
-        cond, _ = compute_condition(params, cfg, batch)
-        denoise = make_denoise_fn(params, cfg, cond)
+        if args.bf16:
+            batch = dict(batch)
+            batch["img"] = batch["img"].astype(jnp.bfloat16)
+            batch["scene_pcd_verts_full"] = (
+                batch["scene_pcd_verts_full"].astype(jnp.bfloat16))
+        cond, _ = compute_condition(nn_params, cfg, batch)
+        if args.bf16:
+            # sampler math stays f32; denoiser runs bf16
+            raw = make_denoise_fn(nn_params, cfg, cond)
+            denoise = lambda x, t: raw(x.astype(jnp.bfloat16), t).astype(
+                jnp.float32)
+            cond_f32 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == jnp.bfloat16 else x, cond)
+        else:
+            denoise = make_denoise_fn(nn_params, cfg, cond)
+            cond_f32 = cond
         _, x0 = sample_loop(schedule, denoise, key, (B, 144), sampler="ddim")
-        return model_outputs(cfg, smpl, cond, x0, stats)["pred_keypoints_3d"]
+        return model_outputs(cfg, smpl, cond_f32, x0, stats)["pred_keypoints_3d"]
 
     # ------- reference-architecture variant: a Python loop over timesteps,
     # each step one dispatched graph that reruns the FULL conditioning

@@ -193,6 +193,48 @@ class TestGoldenSamplers:
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
 
+    def test_ddim_guided_matches(self, rng):
+        """Guided DDIM (eta=0) is deterministic -> exact golden vs reference
+        ddim_sample_with_grad (gaussian_diffusion.py:559-614)."""
+        import torch
+        from diffusion import gaussian_diffusion as gd
+        from diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+
+        den = _LinearDenoiser(rng)
+        gw = rng.randn(16).astype(np.float32) * 0.1
+
+        class GuidedModel:
+            def parameters(self):
+                yield torch.zeros(1)
+
+            def __call__(self, batch, ts):
+                return den.torch_model()(batch, ts)
+
+            def guide_coll(self, batch, out, t, compute_grad="x_t"):
+                return batch["x_t"] * 0.01 + torch.from_numpy(gw)
+
+        betas = gd.get_named_beta_schedule("cosine", 50)
+        ref = SpacedDiffusion(
+            use_timesteps=ref_space(50, "ddim5"), betas=betas,
+            rescale_timesteps=False, body_rep_mean=None, body_rep_std=None,
+        )
+        x_T = rng.randn(4, 16).astype(np.float32)
+        out = ref.ddim_sample_loop(
+            GuidedModel(), {}, (4, 16), noise=torch.from_numpy(x_T.copy()),
+            clip_denoised=False, device=torch.device("cpu"), eta=0.0,
+            cond_fn_with_grad=True,
+        )
+        want = out["sample"].numpy()
+
+        sched = make_schedule(50, "cosine", "ddim5")
+        gw_j = jnp.asarray(gw)
+        got, _ = sample_loop(
+            sched, den.jax_fn(), jax.random.PRNGKey(0), (4, 16),
+            sampler="ddim", guidance_fn=lambda x, t: x * 0.01 + gw_j,
+            guidance=GuidanceConfig(), noise=jnp.asarray(x_T),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
+
     def test_ddpm_guided_matches_zero_noise(self, rng, monkeypatch):
         """Guidance path: grad hook + t<=10 gating + 0.01 floor below t=5."""
         import torch
