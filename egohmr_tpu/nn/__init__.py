@@ -11,7 +11,11 @@ from .core import (
     silu,
 )
 from .resnet import init_resnet, resnet_forward
-from .pointnet import init_pointnet, pointnet_forward
+from .pointnet import (
+    init_pointnet,
+    pointnet_forward,
+    pointnet_forward_point_sharded,
+)
 from .gcn import (
     init_modulated_gcn,
     modulated_gcn_forward,

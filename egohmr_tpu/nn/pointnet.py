@@ -74,3 +74,30 @@ def pointnet_forward(
     net = _resnet_block_fc(params["block_3"], net)
     net = pool(net)[:, 0]  # [B, hidden]
     return linear(params["fc_c"], relu(net))
+
+
+def pointnet_forward_point_sharded(
+    params: dict, points: Array, *, axis_name: str
+) -> Array:
+    """PointNet with the POINT axis sharded across mesh devices.
+
+    Sequence parallelism for very large scene clouds (the one long axis of
+    this workload; SURVEY.md §5): each device encodes its point shard and the
+    global-max-pools become `jax.lax.pmax` over `axis_name`, riding ICI.
+    Call inside shard_map with points split on axis 1. Numerically identical
+    to `pointnet_forward` on the gathered cloud (max is associative).
+    """
+    def pool(net):
+        local = jnp.max(net, axis=1, keepdims=True)
+        return jax.lax.pmax(local, axis_name)
+
+    net = linear(params["fc_pos_0"], points)
+    net = _resnet_block_fc(params["block_0"], net)
+    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
+    net = _resnet_block_fc(params["block_1"], net)
+    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
+    net = _resnet_block_fc(params["block_2"], net)
+    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
+    net = _resnet_block_fc(params["block_3"], net)
+    net = pool(net)[:, 0]  # [B, hidden]
+    return linear(params["fc_c"], relu(net))

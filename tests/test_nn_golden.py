@@ -257,3 +257,36 @@ class TestAdjacency:
         adj = adj * (1 - np.eye(24, dtype=np.float32)) + np.eye(24, dtype=np.float32)
 
         np.testing.assert_allclose(joint_adjacency(), adj, atol=1e-6)
+
+
+class TestPointShardedPointNet:
+    def test_matches_unsharded(self, rng):
+        """Point-axis-sharded PointNet over 8 devices == single-device."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from egohmr_tpu.nn import (
+            init_pointnet,
+            pointnet_forward,
+            pointnet_forward_point_sharded,
+        )
+        from egohmr_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        params = init_pointnet(jax.random.PRNGKey(0), out_dim=32,
+                               hidden_dim=16)
+        pts = jnp.asarray(rng.randn(2, 512, 3).astype(np.float32))
+        want = pointnet_forward(params, pts)
+
+        mesh = make_mesh(8, axis="pts")
+        f = lambda p, x: pointnet_forward_point_sharded(p, x, axis_name="pts")
+        got = jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P(), P(None, "pts")), out_specs=P(),
+            check_vma=False,
+        ))(params, pts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
