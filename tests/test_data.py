@@ -134,3 +134,31 @@ def test_collate_nested(rng):
     assert batch["smpl_params"]["b"].shape == (4, 2)
     assert batch["name"] == ["x"] * 4
     assert batch["flag"].shape == (4,)
+
+
+def test_prefetch_to_device(rng):
+    import jax.numpy as jnp
+
+    from egohmr_tpu.data.prefetch import prefetch_to_device
+
+    batches = [{"x": np.full((4,), i, np.float32)} for i in range(10)]
+    out = list(prefetch_to_device(iter(batches), size=3))
+    assert len(out) == 10
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jnp.ndarray)
+        np.testing.assert_allclose(np.asarray(b["x"]), i)
+
+
+def test_prefetch_propagates_errors():
+    from egohmr_tpu.data.prefetch import prefetch_to_device
+
+    def gen():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
