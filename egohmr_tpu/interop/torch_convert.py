@@ -180,6 +180,72 @@ def convert_fc_head(sd: Flat, prefix: str = "flow.fc_head.") -> dict:
     }
 
 
+# -------------------------------------------------------------------- glow
+def convert_conditional_glow(sd: Flat, prefix: str = "flow.flow.",
+                             num_layers: int = 4,
+                             num_blocks_per_layer: int = 2) -> dict:
+    """nflows ConditionalGlow -> egohmr_tpu.flow param tree.
+
+    Key layout of the nflows fork used by ProHMR (stage-1 checkpoint 53618;
+    reference models/prohmr/smpl_flow.py:24): the flow is a
+    `CompositeTransform` with 3 transforms per step —
+      _transform._transforms.{3k}:   ActNorm        (log_scale, shift)
+      _transform._transforms.{3k+1}: LU 1x1 linear  (bias, lower_entries,
+                                     upper_entries, unconstrained_upper_diag)
+      _transform._transforms.{3k+2}: AffineCoupling (transform_net.* =
+                                     ResidualNet: initial_layer,
+                                     blocks.{j}.linear_layers.{0,1},
+                                     blocks.{j}.context_layer, final_layer)
+    """
+    steps = []
+    for k in range(num_layers):
+        b = f"{prefix}_transform._transforms."
+        an = {
+            "log_scale": jnp.asarray(sd[f"{b}{3 * k}.log_scale"]).reshape(-1),
+            "shift": jnp.asarray(sd[f"{b}{3 * k}.shift"]).reshape(-1),
+        }
+        lu = {
+            "lower_entries": jnp.asarray(sd[f"{b}{3 * k + 1}.lower_entries"]),
+            "upper_entries": jnp.asarray(sd[f"{b}{3 * k + 1}.upper_entries"]),
+            "unconstrained_upper_diag": jnp.asarray(
+                sd[f"{b}{3 * k + 1}.unconstrained_upper_diag"]),
+            "bias": jnp.asarray(sd[f"{b}{3 * k + 1}.bias"]),
+        }
+        net_prefix = f"{b}{3 * k + 2}.transform_net."
+        blocks = []
+        for j in range(num_blocks_per_layer):
+            blk = {
+                "l0": _lin(sd, f"{net_prefix}blocks.{j}.linear_layers.0"),
+                "l1": _lin(sd, f"{net_prefix}blocks.{j}.linear_layers.1"),
+            }
+            if f"{net_prefix}blocks.{j}.context_layer.weight" in sd:
+                blk["context_layer"] = _lin(
+                    sd, f"{net_prefix}blocks.{j}.context_layer")
+            blocks.append(blk)
+        coupling = {
+            "net": {
+                "initial_layer": _lin(sd, net_prefix + "initial_layer"),
+                "final_layer": _lin(sd, net_prefix + "final_layer"),
+                "blocks": blocks,
+            }
+        }
+        steps.append({"actnorm": an, "linear": lu, "coupling": coupling})
+    return {"steps": steps}
+
+
+def convert_prohmr(sd: Flat, num_layers: int = 4,
+                   num_blocks_per_layer: int = 2) -> dict:
+    """Full stage-1 ProHMR-scene param tree from a reference checkpoint
+    (module layout: models/prohmr/prohmr_scene.py ctor)."""
+    return {
+        "backbone": convert_resnet(sd, "backbone."),
+        "scene_enc": convert_pointnet(sd, "scene_enc."),
+        "flow": convert_conditional_glow(sd, "flow.flow.", num_layers,
+                                         num_blocks_per_layer),
+        "fc_head": convert_fc_head(sd, "flow.fc_head."),
+    }
+
+
 # ------------------------------------------------------------ discriminator
 def convert_discriminator(sd: Flat, prefix: str = "discriminator.") -> dict:
     def conv1x1_as_linear(name):

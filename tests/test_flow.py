@@ -93,3 +93,51 @@ def test_context_conditioning_matters():
     lp1, _ = glow_log_prob(params, CFG, x, ctx)
     lp2, _ = glow_log_prob(params, CFG, x, ctx + 1.0)
     assert not np.allclose(np.asarray(lp1), np.asarray(lp2))
+
+
+def test_convert_conditional_glow_wiring(rng):
+    """nflows-layout state_dict -> converted params run and invert."""
+    from egohmr_tpu.interop.torch_convert import convert_conditional_glow
+
+    d, hidden, ctx, L, D = 12, 32, 7, 3, 2
+    n_tri = d * (d - 1) // 2
+    sd = {}
+    for k in range(L):
+        b = f"flow.flow._transform._transforms."
+        sd[f"{b}{3*k}.log_scale"] = rng.randn(1, d).astype(np.float32) * 0.1
+        sd[f"{b}{3*k}.shift"] = rng.randn(1, d).astype(np.float32) * 0.1
+        sd[f"{b}{3*k+1}.lower_entries"] = rng.randn(n_tri).astype(np.float32) * 0.05
+        sd[f"{b}{3*k+1}.upper_entries"] = rng.randn(n_tri).astype(np.float32) * 0.05
+        sd[f"{b}{3*k+1}.unconstrained_upper_diag"] = (
+            rng.randn(d).astype(np.float32) * 0.05 + 0.54)
+        sd[f"{b}{3*k+1}.bias"] = rng.randn(d).astype(np.float32) * 0.05
+        n_id = d - d // 2 if k % 2 == 0 else d // 2
+        n_tr = d - n_id
+        net = f"{b}{3*k+2}.transform_net."
+        sd[net + "initial_layer.weight"] = (
+            rng.randn(hidden, n_id + ctx).astype(np.float32) * 0.1)
+        sd[net + "initial_layer.bias"] = rng.randn(hidden).astype(np.float32) * 0.1
+        for j in range(D):
+            for li in (0, 1):
+                sd[f"{net}blocks.{j}.linear_layers.{li}.weight"] = (
+                    rng.randn(hidden, hidden).astype(np.float32) * 0.05)
+                sd[f"{net}blocks.{j}.linear_layers.{li}.bias"] = (
+                    rng.randn(hidden).astype(np.float32) * 0.05)
+            sd[f"{net}blocks.{j}.context_layer.weight"] = (
+                rng.randn(hidden, ctx).astype(np.float32) * 0.1)
+            sd[f"{net}blocks.{j}.context_layer.bias"] = (
+                rng.randn(hidden).astype(np.float32) * 0.1)
+        sd[net + "final_layer.weight"] = (
+            rng.randn(2 * n_tr, hidden).astype(np.float32) * 0.05)
+        sd[net + "final_layer.bias"] = rng.randn(2 * n_tr).astype(np.float32) * 0.05
+
+    params = convert_conditional_glow(sd, num_layers=L, num_blocks_per_layer=D)
+    cfg = GlowConfig(features=d, hidden_features=hidden, num_layers=L,
+                     num_blocks_per_layer=D, context_features=ctx)
+    x = jnp.asarray(rng.randn(8, d).astype(np.float32))
+    ctx_arr = jnp.asarray(rng.randn(8, ctx).astype(np.float32))
+    z, ld = glow_forward(params, cfg, x, ctx_arr)
+    x_back, ld_i = glow_inverse(params, cfg, z, ctx_arr)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld + ld_i), 0.0, atol=1e-4)
+    assert not np.allclose(np.asarray(ld), 0.0)  # non-identity weights loaded
