@@ -59,6 +59,10 @@ def parse_args(argv=None):
                    help="limit evaluated batches (0 = all)")
     p.add_argument("--save_results", type=b, default=False)
     p.add_argument("--save_root", type=str, default="output_results")
+    p.add_argument("--render", type=b, default=False,
+                   help="save body-overlay renders for the first batch "
+                        "(reference test_egohmr.py:41-44)")
+    p.add_argument("--output_render_root", type=str, default="output_render")
     return p.parse_args(argv)
 
 
@@ -176,6 +180,8 @@ def main(argv=None):
                 "pred_pose_6d": np.asarray(outputs["pred_pose_6d"]),
                 "pred_betas": np.asarray(outputs["pred_betas"]),
             })
+        if args.render and i == 0:
+            _render_batch(args, cfg, smpl_n, batch, outputs)
         if i % max(args.log_freq, 1) == 0:
             print(f"[batch {i}] images={n_images} "
                   f"G-MPJPE={np.concatenate(acc['g_mpjpe']).mean()*1000:.1f}mm")
@@ -194,6 +200,34 @@ def main(argv=None):
             pickle.dump(saved, f)
         print(f"saved results to {args.save_root}/results.pkl")
     return summary
+
+
+def _render_batch(args, cfg, smpl, batch, outputs):
+    """Overlay the first sample's body on (a gray canvas or) the source image
+    (reference test_egohmr.py:556-626; full frames are not in the batch, so
+    the overlay uses a blank canvas at full-image resolution when the source
+    jpg is unavailable)."""
+    import numpy as np
+
+    from ..viz.renderer import render_on_img
+
+    os.makedirs(args.output_render_root, exist_ok=True)
+    verts = np.asarray(outputs["pred_vertices"][:, 0])  # [B, V, 3]
+    transl = np.asarray(batch["smpl_params"]["transl"])
+    fx = np.asarray(batch["fx"]) * cfg.fx_norm_coeff
+    cx = np.asarray(batch["cam_cx"])
+    cy = np.asarray(batch["cam_cy"])
+    faces = np.asarray(smpl.faces)
+    from PIL import Image
+
+    for b in range(min(len(verts), 4)):
+        canvas = np.full((int(cfg.full_img_h), int(cfg.full_img_w), 3), 32,
+                         np.uint8)
+        out = render_on_img(canvas, verts[b] + transl[b], faces,
+                            (fx[b], fx[b]), (cx[b], cy[b]))
+        Image.fromarray(out).save(
+            os.path.join(args.output_render_root, f"render_{b}.png"))
+    print(f"renders saved to {args.output_render_root}/")
 
 
 def _load_params(checkpoint: str, cfg):

@@ -36,6 +36,21 @@ def _resnet_block_fc(p: dict, x: Array) -> Array:
     return xs + dx
 
 
+def _resnet_block_fc_split(p: dict, x: Array, pooled: Array) -> Array:
+    """Block applied to concat([x, broadcast(pooled)], -1) WITHOUT building
+    the concatenated [B, N, 2H] tensor: every first-layer matmul splits as
+    cat(a,b) @ W == a @ W[:H] + b @ W[H:]. Exact same numerics, half the HBM
+    traffic on the 20k-point axis (the per-point half of the concat is the
+    broadcast of a [B, 1, H] row)."""
+    h = x.shape[-1]
+    w0 = p["fc_0"]["w"]
+    net = (relu(x) @ w0[:h] + relu(pooled) @ w0[h:]) + p["fc_0"]["b"]
+    dx = linear(p["fc_1"], relu(net))
+    ws = p["shortcut"]["w"]
+    xs = x @ ws[:h] + pooled @ ws[h:]
+    return xs + dx
+
+
 def init_pointnet(key: Array, out_dim: int = 512, hidden_dim: int = 256) -> dict:
     ks = jax.random.split(key, 6)
     return {
@@ -66,12 +81,9 @@ def pointnet_forward(
 
     net = linear(params["fc_pos_0"], points)
     net = _resnet_block_fc(params["block_0"], net)
-    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
-    net = _resnet_block_fc(params["block_1"], net)
-    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
-    net = _resnet_block_fc(params["block_2"], net)
-    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
-    net = _resnet_block_fc(params["block_3"], net)
+    net = _resnet_block_fc_split(params["block_1"], net, pool(net))
+    net = _resnet_block_fc_split(params["block_2"], net, pool(net))
+    net = _resnet_block_fc_split(params["block_3"], net, pool(net))
     net = pool(net)[:, 0]  # [B, hidden]
     return linear(params["fc_c"], relu(net))
 
@@ -93,11 +105,8 @@ def pointnet_forward_point_sharded(
 
     net = linear(params["fc_pos_0"], points)
     net = _resnet_block_fc(params["block_0"], net)
-    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
-    net = _resnet_block_fc(params["block_1"], net)
-    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
-    net = _resnet_block_fc(params["block_2"], net)
-    net = jnp.concatenate([net, jnp.broadcast_to(pool(net), net.shape)], axis=-1)
-    net = _resnet_block_fc(params["block_3"], net)
+    net = _resnet_block_fc_split(params["block_1"], net, pool(net))
+    net = _resnet_block_fc_split(params["block_2"], net, pool(net))
+    net = _resnet_block_fc_split(params["block_3"], net, pool(net))
     net = pool(net)[:, 0]  # [B, hidden]
     return linear(params["fc_c"], relu(net))
