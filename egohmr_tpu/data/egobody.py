@@ -231,6 +231,58 @@ def collate(items: List[Dict]) -> Dict:
     return out
 
 
+def to_device_batch(batch: Dict) -> Dict:
+    """Move a collated numpy batch to device, dropping host-only keys.
+
+    Shared by every train/eval CLI (single source for the drop list)."""
+    import jax.numpy as jnp
+
+    def conv(x):
+        if isinstance(x, dict):
+            return {k: conv(v) for k, v in x.items()}
+        if isinstance(x, (list, str)):
+            return x
+        return jnp.asarray(x)
+
+    return {k: conv(v) for k, v in batch.items()
+            if k not in ("imgname", "transl_needs_recompute",
+                         "transf_kinect2holo", "transf_holo2pv",
+                         "keypoints_2d_vis_mask")}
+
+
+def finalize_batch(batch: Dict, smpl_male, smpl_female) -> Dict:
+    """Recompute SMPL transl for augmented items, in one batched device call.
+
+    The reference runs a torch SMPL forward per augmented worker item
+    (augmentation.py:446-460): transl = augmented_pelvis - local_pelvis(pose,
+    betas) with the gendered body. Here all items are posed at once; items
+    whose `transl_needs_recompute` flag is False keep their original transl.
+    Call BEFORE to_device_batch (which strips the flag).
+    """
+    import jax.numpy as jnp
+
+    from ..smpl import lbs
+
+    flags = np.asarray(batch.get("transl_needs_recompute", False))
+    if not flags.any():
+        return batch
+    sp = batch["smpl_params"]
+    betas = jnp.asarray(sp["betas"])
+    go = jnp.asarray(sp["global_orient"])
+    bp = jnp.asarray(sp["body_pose"])
+    out_m = lbs(smpl_male, betas, go, bp, pose2rot=True)
+    out_f = lbs(smpl_female, betas, go, bp, pose2rot=True)
+    is_f = (np.asarray(batch["gender"]) == 1)[:, None]
+    local_pelvis = np.where(is_f, np.asarray(out_f.joints_smpl[:, 0]),
+                            np.asarray(out_m.joints_smpl[:, 0]))
+    new_transl = batch["keypoints_3d_full"][:, 0] - local_pelvis
+    transl = np.where(flags[:, None], new_transl, sp["transl"])
+    batch = dict(batch)
+    batch["smpl_params"] = dict(sp)
+    batch["smpl_params"]["transl"] = transl.astype(np.float32)
+    return batch
+
+
 class MoCapDataset:
     """CMU-mocap (pose, betas) real samples for the stage-1 discriminator
     (reference dataloaders/mocap_dataset.py:5-26)."""

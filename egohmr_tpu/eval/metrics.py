@@ -128,8 +128,9 @@ def joint_visibility_mask(
 
 def diversity_std(samples: Array, mask: Optional[Array] = None) -> Array:
     """Per-joint std over the sample axis, averaged
-    (reference test_egohmr.py:456-471). samples: [B, S, N, 3] -> [B]."""
-    std = jnp.std(samples, axis=1)  # [B, N, 3]
+    (reference test_egohmr.py:450-470; torch.std unbiased).
+    samples: [B, S, N, 3] -> [B]."""
+    std = jnp.std(samples, axis=1, ddof=1)  # [B, N, 3]
     per_joint = jnp.mean(std, axis=-1)  # [B, N]
     if mask is None:
         return jnp.mean(per_joint, axis=-1)
@@ -139,7 +140,9 @@ def diversity_std(samples: Array, mask: Optional[Array] = None) -> Array:
 
 def apd(samples: Array, mask: Optional[Array] = None) -> Array:
     """Average pairwise distance across samples
-    (reference test_egohmr.py:473-494). samples: [B, S, N, 3] -> [B]."""
+    (reference test_egohmr.py:472-494: sum over ordered pairs divided by
+    n·(n-1)·2, i.e. HALF the mean pairwise distance — kept for parity).
+    samples: [B, S, N, 3] -> [B]."""
     B, S = samples.shape[:2]
     diff = samples[:, :, None] - samples[:, None]  # [B, S, S, N, 3]
     d = jnp.linalg.norm(diff, axis=-1)  # [B, S, S, N]
@@ -148,5 +151,4 @@ def apd(samples: Array, mask: Optional[Array] = None) -> Array:
         d = jnp.sum(d * mask[:, None, None, :], axis=-1) / denom[:, None, None]
     else:
         d = jnp.mean(d, axis=-1)
-    off_diag = jnp.sum(d, axis=(1, 2)) / jnp.maximum(S * (S - 1), 1)
-    return off_diag
+    return jnp.sum(d, axis=(1, 2)) / jnp.maximum(S * (S - 1) * 2, 1)

@@ -113,6 +113,12 @@ class EvalResult:
     apd_invis: Array
     coll_ratio: Optional[Array]
     contact: Optional[Array]
+    # per-image visible / invisible joint counts — weights for aggregating
+    # the masked metrics across images (images with an empty mask contribute
+    # zero weight; reference test_egohmr.py:633-640 sums joint errors and
+    # divides by the global joint count)
+    vis_count: Array
+    invis_count: Array
 
 
 def evaluate_batch(
@@ -169,10 +175,14 @@ def evaluate_batch(
     pa_vis = pa_mpjpe(pred_kp3d, gt_full_b, vis_mask=vm, mask=vis_s)
     pa_invis = pa_mpjpe(pred_kp3d, gt_full_b, vis_mask=vm, mask=1.0 - vis_s)
 
+    # v2v in the LOCAL body frame: pred_vertices carry no translation, so the
+    # pelvis must come from the local joints (reference test_egohmr.py:426-448
+    # aligns both sides by their own pelvis)
+    pred_kp3d_local = outputs["pred_keypoints_3d"][:, :, :24]
     pred_verts = outputs["pred_vertices"]  # [B, S, V, 3]
     gt_verts_b = jnp.broadcast_to(gt_verts[:, None], pred_verts.shape)
     v2v_all = v2v(pred_verts, gt_verts_b,
-                  pred_kp3d_full[:, :, 0], gt_full_b[:, :, 0])
+                  pred_kp3d_local[:, :, 0], gt_full_b[:, :, 0])
 
     # diversity over the S sample bodies (pelvis-aligned joints; :456-494)
     samples = pred_kp3d_full - pred_kp3d_full[:, :, :1]
@@ -206,4 +216,5 @@ def evaluate_batch(
         std_all=std_all, std_vis=std_vis, std_invis=std_invis,
         apd_all=apd_all, apd_vis=apd_vis, apd_invis=apd_invis,
         coll_ratio=coll, contact=contact,
+        vis_count=jnp.sum(vis, axis=-1), invis_count=jnp.sum(invis, axis=-1),
     )

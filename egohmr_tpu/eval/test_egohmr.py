@@ -119,7 +119,7 @@ def main(argv=None):
                 yield synthetic_batch(args.batch_size, seed=100 + i)
 
     else:
-        from ..data.egobody import EgoBodyDataset
+        from ..data.egobody import EgoBodyDataset, to_device_batch
 
         test_file = args.dataset_file or os.path.join(
             args.dataset_root, "annotation_egocentric_smpl_npz",
@@ -135,13 +135,14 @@ def main(argv=None):
         )
 
         def batches():
-            it = ds.iter_batches(args.batch_size, shuffle=False)
-            from .test_egohmr import _to_device  # self
-
+            # drop_last=False: evaluate the FULL test split like the
+            # reference DataLoader (partial final batch included)
+            it = ds.iter_batches(args.batch_size, shuffle=False,
+                                 drop_last=False)
             for i, b in enumerate(it):
                 if args.num_batches and i >= args.num_batches:
                     break
-                yield _to_device(b)
+                yield to_device_batch(b)
 
     @jax.jit
     def run_batch(batch, key):
@@ -159,13 +160,23 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     acc: dict = {}
+    weights_acc: dict = {}
     saved = []
     n_images = 0
+    # masked metrics aggregate weighted by their joint counts so images with
+    # an empty vis/invis mask contribute nothing (the reference accumulates
+    # joint-error sums over the whole split, test_egohmr.py:633-640)
+    weight_key = {"mpjpe_vis": "vis", "pa_mpjpe_vis": "vis", "std_vis": "vis",
+                  "apd_vis": "vis", "mpjpe_invis": "invis",
+                  "pa_mpjpe_invis": "invis", "std_invis": "invis",
+                  "apd_invis": "invis"}
     for i, batch in enumerate(batches()):
         key, sub = jax.random.split(key)
         res, outputs = run_batch(batch, sub)
         res = jax.device_get(res)
         n_images += len(np.asarray(res.g_mpjpe))
+        counts = {"vis": np.asarray(res.vis_count),
+                  "invis": np.asarray(res.invis_count)}
         for name in ("g_mpjpe", "mpjpe_all", "mpjpe_vis", "mpjpe_invis",
                      "pa_mpjpe_all", "pa_mpjpe_vis", "pa_mpjpe_invis",
                      "v2v_all", "std_all", "std_vis", "std_invis",
@@ -174,7 +185,15 @@ def main(argv=None):
             v = getattr(res, name)
             if v is None:
                 continue
-            acc.setdefault(name, []).append(np.asarray(v).reshape(-1))
+            v = np.asarray(v)
+            if name in weight_key:
+                w = counts[weight_key[name]]
+                w = np.broadcast_to(
+                    w.reshape(v.shape[0], *([1] * (v.ndim - 1))), v.shape)
+            else:
+                w = np.ones_like(v)
+            acc.setdefault(name, []).append((v * w).reshape(-1))
+            weights_acc.setdefault(name, []).append(w.reshape(-1))
         if args.save_results:
             saved.append({
                 "pred_pose_6d": np.asarray(outputs["pred_pose_6d"]),
@@ -183,15 +202,17 @@ def main(argv=None):
         if args.render and i == 0:
             _render_batch(args, cfg, smpl_n, batch, outputs)
         if i % max(args.log_freq, 1) == 0:
-            print(f"[batch {i}] images={n_images} "
-                  f"G-MPJPE={np.concatenate(acc['g_mpjpe']).mean()*1000:.1f}mm")
+            g = (np.concatenate(acc["g_mpjpe"]).sum()
+                 / max(np.concatenate(weights_acc["g_mpjpe"]).sum(), 1))
+            print(f"[batch {i}] images={n_images} G-MPJPE={g*1000:.1f}mm")
 
     summary = {}
     for name, chunks in acc.items():
-        v = np.concatenate(chunks)
+        num = np.concatenate(chunks).sum()
+        den = np.concatenate(weights_acc[name]).sum()
         scale = 1000.0 if ("mpjpe" in name or "v2v" in name
                            or "std" in name or "apd" in name) else 1.0
-        summary[name] = float(v.mean() * scale)
+        summary[name] = float(num / max(den, 1e-9) * scale)
     print(json.dumps(summary, indent=2))
 
     if args.save_results:
@@ -245,22 +266,6 @@ def _load_params(checkpoint: str, cfg):
     template = init_egohmr(jax.random.PRNGKey(0), cfg)
     state = restore_checkpoint(checkpoint)
     return state["params"] if "params" in state else state
-
-
-def _to_device(batch):
-    import jax.numpy as jnp
-
-    def conv(x):
-        if isinstance(x, dict):
-            return {k: conv(v) for k, v in x.items()}
-        if isinstance(x, list):
-            return x
-        return jnp.asarray(x) if not isinstance(x, str) else x
-
-    return {k: conv(v) for k, v in batch.items()
-            if k not in ("imgname", "transl_needs_recompute",
-                         "transf_kinect2holo", "transf_holo2pv",
-                         "keypoints_2d_vis_mask")}
 
 
 if __name__ == "__main__":

@@ -80,8 +80,7 @@ def main(argv=None):
         state = restore_checkpoint(args.checkpoint)
         params = state["params"] if "params" in state else state
 
-        from ..data.egobody import EgoBodyDataset
-        from .test_egohmr import _to_device
+        from ..data.egobody import EgoBodyDataset, to_device_batch
 
         test_file = args.dataset_file or os.path.join(
             args.dataset_root, "annotation_egocentric_smpl_npz",
@@ -99,7 +98,7 @@ def main(argv=None):
                                                    drop_last=False)):
                 if args.num_batches and i >= args.num_batches:
                     break
-                yield _to_device(bt)
+                yield to_device_batch(bt)
 
     @jax.jit
     def run_batch(batch, key):
@@ -116,11 +115,12 @@ def main(argv=None):
 
         # mode-only metrics (reference test_prohmr_scene.py:291-321)
         pred_full = out.pred_keypoints_3d_full[:, 0, :24]
+        pred_local = out.pred_keypoints_3d[:, 0, :24]  # same frame as verts
         pred_verts = out.pred_vertices[:, 0]
         g = mpjpe(pred_full, gt_joints)
         mp = mpjpe(pred_full, gt_joints, pelvis_align=True)
         pa = pa_mpjpe(pred_full, gt_joints)
-        vv = v2v(pred_verts, gt_verts, pred_full[:, 0], gt_joints[:, 0])
+        vv = v2v(pred_verts, gt_verts, pred_local[:, 0], gt_joints[:, 0])
         return {"g_mpjpe": g, "mpjpe": mp, "pa_mpjpe": pa, "v2v": vv,
                 "pred_cam_full": out.pred_cam_t_full[:, 0]}
 

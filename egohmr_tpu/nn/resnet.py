@@ -31,7 +31,9 @@ def init_resnet(key: Array, num_layers: int = 50) -> dict:
     reference models/resnet.py:152-163)."""
     blocks = RESNET_LAYERS[num_layers]
     bottleneck = num_layers in BOTTLENECK_DEPTHS
-    keys = jax.random.split(key, 64)
+    convs_per_block = 3 if bottleneck else 2
+    n_keys = 1 + sum(blocks) * convs_per_block + 4  # conv1 + blocks + downsamples
+    keys = jax.random.split(key, n_keys)
     ki = iter(keys)
 
     params = {"conv1": conv_init(next(ki), 7, 7, 3, 64), "bn1": bn_init(64)}

@@ -132,7 +132,11 @@ def main(argv=None):
         batch_iter = batches()
         stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
     else:
-        from ..data.egobody import EgoBodyDataset
+        from ..data.egobody import (
+            EgoBodyDataset,
+            finalize_batch,
+            to_device_batch,
+        )
         from ..data.stats import compute_body_rep_stats
 
         smpl_n = smpl_create(args.smpl_model_path, "neutral")
@@ -158,7 +162,10 @@ def main(argv=None):
             epoch = 0
             while True:
                 for b in ds.iter_batches(args.batch_size, seed=epoch):
-                    yield _to_device(b)
+                    # batched replacement for the reference's per-item torch
+                    # SMPL transl fix-up after augmentation
+                    b = finalize_batch(b, smpl_m, smpl_f)
+                    yield to_device_batch(b)
                 epoch += 1
 
         batch_iter = batches()
@@ -230,22 +237,6 @@ def main(argv=None):
                      "step": args.num_steps - 1})
     writer.close()
     logger.info("done")
-
-
-def _to_device(batch):
-    import jax.numpy as jnp
-
-    def conv(x):
-        if isinstance(x, dict):
-            return {k: conv(v) for k, v in x.items()}
-        if isinstance(x, list):
-            return x
-        return jnp.asarray(x) if not isinstance(x, str) else x
-
-    return {k: conv(v) for k, v in batch.items()
-            if k not in ("imgname", "transl_needs_recompute",
-                         "transf_kinect2holo", "transf_holo2pv",
-                         "keypoints_2d_vis_mask")}
 
 
 if __name__ == "__main__":

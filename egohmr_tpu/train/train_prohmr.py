@@ -108,7 +108,12 @@ def main(argv=None):
                 }
 
     else:
-        from ..data.egobody import EgoBodyDataset, MoCapDataset
+        from ..data.egobody import (
+            EgoBodyDataset,
+            MoCapDataset,
+            finalize_batch,
+            to_device_batch,
+        )
 
         smpl_n = smpl_create(args.smpl_model_path, "neutral")
         smpl_m = smpl_create(args.smpl_model_path, "male")
@@ -124,13 +129,12 @@ def main(argv=None):
         )
         mocap = MoCapDataset(args.cmu_mocap_file)
 
-        from .train_egohmr import _to_device
-
         def batches():
             epoch = 0
             while True:
                 for bt in ds.iter_batches(args.batch_size, seed=epoch):
-                    yield _to_device(bt)
+                    bt = finalize_batch(bt, smpl_m, smpl_f)
+                    yield to_device_batch(bt)
                 epoch += 1
 
         def mocap_batches():

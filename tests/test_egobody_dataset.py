@@ -161,3 +161,50 @@ def test_augmented_items_flagged(egobody_root):
     )
     flags = [ds[i]["transl_needs_recompute"] for i in range(len(ds))]
     assert any(flags)
+
+
+def test_finalize_batch_recomputes_transl(egobody_root):
+    import jax.numpy as jnp
+
+    from egohmr_tpu.data.egobody import EgoBodyDataset, collate, finalize_batch
+    from egohmr_tpu.smpl import lbs, make_synthetic_model
+
+    ds = EgoBodyDataset(
+        dataset_file=os.path.join(egobody_root, "annotations.npz"),
+        data_root=egobody_root, split="test", train=True, do_augment=True,
+        scene_type="cube", seed=7,
+    )
+    items = [ds[i] for i in range(4)]
+    batch = collate(items)
+    assert batch["transl_needs_recompute"].any()
+    smpl = make_synthetic_model(num_vertices=256)
+    out = finalize_batch(batch, smpl, smpl)
+
+    # invariant the reference establishes (augmentation.py:446-460):
+    # posed pelvis + transl == augmented full-frame pelvis keypoint
+    sp = out["smpl_params"]
+    posed = lbs(smpl, jnp.asarray(sp["betas"]),
+                jnp.asarray(sp["global_orient"]),
+                jnp.asarray(sp["body_pose"]), pose2rot=True)
+    pelvis = np.asarray(posed.joints_smpl[:, 0]) + sp["transl"]
+    flagged = np.asarray(batch["transl_needs_recompute"])
+    np.testing.assert_allclose(
+        pelvis[flagged], out["keypoints_3d_full"][flagged][:, 0], atol=1e-4)
+    # un-augmented items keep their original transl
+    if (~flagged).any():
+        np.testing.assert_allclose(sp["transl"][~flagged],
+                                   batch["smpl_params"]["transl"][~flagged])
+
+
+def test_to_device_batch_drops_host_keys(egobody_root):
+    from egohmr_tpu.data.egobody import EgoBodyDataset, collate, to_device_batch
+
+    ds = EgoBodyDataset(
+        dataset_file=os.path.join(egobody_root, "annotations.npz"),
+        data_root=egobody_root, split="test", train=False, scene_type="cube",
+    )
+    batch = to_device_batch(collate([ds[0], ds[1]]))
+    for k in ("imgname", "transl_needs_recompute", "transf_kinect2holo",
+              "transf_holo2pv", "keypoints_2d_vis_mask"):
+        assert k not in batch
+    assert batch["img"].shape == (2, 224, 224, 3)

@@ -62,23 +62,23 @@ def test_diversity_metrics_match_loop_reference(rng):
     (test_egohmr.py:456-494), reimplemented directly here."""
     samples = rng.randn(2, 5, 24, 3).astype(np.float32)
 
-    # reference std: np.std over samples per joint/dim, mean over dims
-    want_std = samples.std(axis=1).mean(axis=-1).mean(axis=-1)
+    # reference std: torch.std (unbiased) over samples, mean over joints/dims
+    # (test_egohmr.py:450-452)
+    want_std = samples.std(axis=1, ddof=1).mean(axis=-1).mean(axis=-1)
     got_std = np.asarray(diversity_std(jnp.asarray(samples)))
     np.testing.assert_allclose(got_std, want_std, rtol=1e-4, atol=1e-5)
 
-    # reference APD: mean over ordered pairs (i != j) of mean joint distance
+    # reference APD: sum over ordered pairs / n_joints / S / (S-1) / 2
+    # (test_egohmr.py:472-478)
     B, S = samples.shape[:2]
+    n_joints = samples.shape[2]
     want = np.zeros(B)
     for b in range(B):
-        acc, cnt = 0.0, 0
+        acc = 0.0
         for i in range(S):
             for j in range(S):
-                if i == j:
-                    continue
                 acc += np.linalg.norm(
-                    samples[b, i] - samples[b, j], axis=-1).mean()
-                cnt += 1
-        want[b] = acc / cnt
+                    samples[b, i] - samples[b, j], axis=-1).sum()
+        want[b] = acc / n_joints / S / (S - 1) / 2
     got = np.asarray(apd(jnp.asarray(samples)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
