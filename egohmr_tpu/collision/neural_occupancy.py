@@ -132,6 +132,37 @@ def occupancy_collision_loss(occ: Array, mask: Array | None = None) -> Array:
     return jnp.mean(pen, axis=-1)
 
 
+def make_occupancy_guidance_fn(
+    occ_params: dict,
+    occ_cfg: OccupancyConfig,
+    model: SMPLModel,
+    cond,                       # models.egohmr.Condition
+    stats,                      # models.egohmr.BodyRepStats
+):
+    """Collision guidance through the LEARNED occupancy instead of the mesh
+    SDF — drop-in alternative for models.egohmr.make_guidance_fn, mirroring
+    the reference's COAP-gradient path (egohmr.py:517-605)."""
+    from ..geometry import rot6d_to_rotmat
+    from ..models.egohmr import _GUIDE_JOINT_SCALE
+
+    scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]
+    betas = jax.lax.stop_gradient(cond.pred_betas)
+    scene = jax.lax.stop_gradient(cond.scene_pcd)
+
+    def neg_collision(x_t: Array) -> Array:
+        pose6d = x_t * stats.std + stats.mean
+        rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
+        out = lbs(model, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
+        occ = occupancy_query(occ_params, occ_cfg, model, out, betas, scene)
+        return -jnp.mean(occupancy_collision_loss(occ))
+
+    def fn(x_t: Array, t: Array) -> Array:
+        grad = jax.grad(neg_collision)(x_t).reshape(-1, 24, 6) * scale
+        return grad.reshape(x_t.shape[0], 144)
+
+    return fn
+
+
 def distill_occupancy(
     key: Array,
     model: SMPLModel,

@@ -343,6 +343,7 @@ def make_guidance_fn(
     stats: BodyRepStats,
     *,
     sdf_block_size: int = 2048,
+    max_scene_points: Optional[int] = 4096,
 ):
     """Collision-score gradient w.r.t. x_t (reference guide_coll,
     egohmr.py:517-605), batched with static shapes.
@@ -350,10 +351,21 @@ def make_guidance_fn(
     The body is posed WITHOUT translation and compared against the
     canonicalized scene cloud (scene_cano), exactly like the reference
     (scene_pcd_verts = scene - transl; egohmr.py:211-213,537).
+
+    `max_scene_points`: static top-K pre-filter of scene points nearest the
+    (canonical-frame) body origin, computed once per sampling run — the
+    static-shape analogue of the reference's <=4000-point bbox cap
+    (egohmr.py:409-412). Points farther than the body's reach can never
+    penetrate, so the gradient is unchanged; the per-step SDF cost drops
+    ~scene_points/K. None disables the filter.
     """
     scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]  # [1,24,1]
     betas = jax.lax.stop_gradient(cond.pred_betas)
     scene = jax.lax.stop_gradient(cond.scene_pcd)
+    if max_scene_points is not None and scene.shape[1] > max_scene_points:
+        d2 = jnp.sum(scene * scene, axis=-1)  # [B, P]; body sits near origin
+        _, idx = jax.lax.top_k(-d2, max_scene_points)
+        scene = jnp.take_along_axis(scene, idx[..., None], axis=1)
 
     def neg_collision(x_t: Array) -> Array:
         pose6d = x_t * stats.std + stats.mean

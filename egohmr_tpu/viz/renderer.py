@@ -46,6 +46,29 @@ def render_on_img(
                                   color, point_radius)
 
 
+def render_in_scene(
+    body_vertices: np.ndarray,        # [V, 3]
+    faces: Optional[np.ndarray],
+    scene_points: np.ndarray,         # [P, 3]
+    view_transform: Optional[np.ndarray] = None,  # [4, 4] world->view
+    img_size: Tuple[int, int] = (1920, 1080),
+    focal_length: Tuple[float, float] = (1000.0, 1000.0),
+) -> np.ndarray:
+    """Body + scene point cloud from an external view
+    (reference renderer.py:33-47 render_in_scene / open3d viewers).
+    Falls back to the PIL splat when GL is unavailable."""
+    w, h = img_size
+    cc = (w / 2.0, h / 2.0)
+    if view_transform is not None:
+        r, t = view_transform[:3, :3], view_transform[:3, 3]
+        body_vertices = body_vertices @ r.T + t
+        scene_points = scene_points @ r.T + t
+    canvas = np.full((h, w, 3), 24, np.uint8)
+    canvas = _render_points_pil(canvas, scene_points, focal_length, cc,
+                                (128, 128, 128), 1)
+    return render_on_img(canvas, body_vertices, faces, focal_length, cc)
+
+
 def _render_pyrender(img, vertices, faces, focal_length, camera_center,
                      color, alpha):
     import pyrender

@@ -63,3 +63,28 @@ def test_distillation_beats_untrained(rng):
     a_trained, a_untrained = acc(trained), acc(untrained)
     assert a_trained > 0.75, (a_trained, a_untrained)
     assert a_trained > a_untrained - 0.02
+
+
+def test_occupancy_guidance_fn(rng):
+    """Learned-occupancy guidance: finite grads, upper body zeroed, jittable."""
+    from egohmr_tpu.collision.neural_occupancy import make_occupancy_guidance_fn
+    from egohmr_tpu.data.synthetic import synthetic_batch
+    from egohmr_tpu.models import BodyRepStats, EgoHMRConfig, compute_condition, init_egohmr
+
+    cfg = EgoHMRConfig(
+        img_feat_dim=32, backbone_type="stub", scene_feat_dim=16,
+        pointnet_hidden_dim=8, transl_embed_dim=8, timestep_embed_dim=16,
+        input_process_dim=16, gcn_hid_dim=16, gcn_layers=1)
+    params = init_egohmr(jax.random.PRNGKey(0), cfg)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    model = make_synthetic_model(num_vertices=128)
+    occ_cfg = OccupancyConfig(latent_dim=16, hidden_dim=32, num_layers=3)
+    occ_params = init_occupancy(jax.random.PRNGKey(1), occ_cfg)
+    batch = synthetic_batch(2, num_scene_points=128, img_size=32)
+    cond, _ = compute_condition(params, cfg, batch)
+    guide = make_occupancy_guidance_fn(occ_params, occ_cfg, model, cond, stats)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 144))
+    g = np.asarray(jax.jit(guide)(x, jnp.zeros((2,), jnp.int32)))
+    assert np.isfinite(g).all()
+    upper = [0, 3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23]
+    np.testing.assert_allclose(g.reshape(2, 24, 6)[:, upper], 0.0)

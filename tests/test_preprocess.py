@@ -83,3 +83,13 @@ def test_crop_scene_cube_augmented_contains_body(rng):
     # crop stays within a bounded distance of the body center in x-z
     d = np.hypot(crop[:, 0] - center[0], crop[:, 2] - center[2])
     assert d.max() <= 2.0 * math.sqrt(2) + 1e-6
+
+
+def test_render_in_scene_smoke(rng):
+    from egohmr_tpu.viz.renderer import render_in_scene
+
+    body = rng.randn(100, 3).astype(np.float32) * 0.3 + [0, 0, 3.0]
+    scene = rng.randn(500, 3).astype(np.float32) + [0, 0, 3.0]
+    out = render_in_scene(body, None, scene, img_size=(320, 240))
+    assert out.shape == (240, 320, 3)
+    assert out.std() > 0  # something was drawn
