@@ -54,7 +54,12 @@ def nearest_vertex(
     if use_pallas:
         from .knn_pallas import nearest_vertex_idx_pallas
 
-        idx = nearest_vertex_idx_pallas(points, verts, block_p=512)
+        # the argmin index is piecewise-constant: stop_gradient the kernel
+        # inputs (pallas_call has no autodiff rule) — the true gradient flows
+        # through the gather + norm recomputation below
+        idx = nearest_vertex_idx_pallas(
+            jax.lax.stop_gradient(points), jax.lax.stop_gradient(verts),
+            block_p=512)
         nearest = jnp.take_along_axis(verts, idx[..., None], axis=1)
         dist = jnp.linalg.norm(points - nearest, axis=-1)
         return NearestResult(dist=dist, idx=idx)
