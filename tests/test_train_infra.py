@@ -119,3 +119,29 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_training_overfits_fixed_batch():
+    """End-to-end training sanity: repeated steps on one fixed batch must
+    drive the loss down substantially (verifies grads + optimizer wiring,
+    not just one-step finiteness)."""
+    params, stats, smpl, schedule, _, _ = _setup()
+    tcfg = TrainConfig(lr=1e-3)  # overfit fast on the fixed batch
+    opt = make_optimizer(tcfg)
+    step = make_train_step(TINY, tcfg, LossWeights(), schedule, stats,
+                           smpl, smpl, smpl, opt)
+    opt_state = opt.init(params)
+    batch = synthetic_batch(4, num_scene_points=64, img_size=32)
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(120):
+        # fixed timestep draw pattern, fixed batch -> should overfit
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    early = np.mean(losses[:5])
+    late = np.mean(losses[-5:])
+    assert np.isfinite(late)
+    # the synthetic-data loss has a large irreducible floor (random GT,
+    # random SMPL); ~30% reduction by step 120 is the calibrated signal
+    assert late < 0.8 * early, (early, late)
