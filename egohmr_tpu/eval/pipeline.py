@@ -98,6 +98,8 @@ class EvalResult:
     """Per-image metrics, all [B] or [B, S]; distances in meters."""
 
     g_mpjpe: Array
+    g_mpjpe_vis: Array
+    g_mpjpe_invis: Array
     mpjpe_all: Array
     mpjpe_vis: Array
     mpjpe_invis: Array
@@ -105,6 +107,8 @@ class EvalResult:
     pa_mpjpe_vis: Array
     pa_mpjpe_invis: Array
     v2v_all: Array
+    v2v_vis: Array
+    v2v_invis: Array
     std_all: Array
     std_vis: Array
     std_invis: Array
@@ -113,12 +117,14 @@ class EvalResult:
     apd_invis: Array
     coll_ratio: Optional[Array]
     contact: Optional[Array]
-    # per-image visible / invisible joint counts — weights for aggregating
-    # the masked metrics across images (images with an empty mask contribute
-    # zero weight; reference test_egohmr.py:633-640 sums joint errors and
-    # divides by the global joint count)
+    # per-image visible / invisible joint & vertex counts — weights for
+    # aggregating the masked metrics across images (images with an empty mask
+    # contribute zero weight; reference test_egohmr.py:633-640 sums errors
+    # and divides by the global joint/vertex counts)
     vis_count: Array
     invis_count: Array
+    vertex_vis_count: Array
+    vertex_invis_count: Array
 
 
 def evaluate_batch(
@@ -163,9 +169,11 @@ def evaluate_batch(
     gt_full = gt_kp3d[:, None]  # [B, 1, 24, 3]
     gt_full_b = jnp.broadcast_to(gt_full, pred_kp3d.shape)
 
-    g_mpjpe = mpjpe(pred_kp3d_full, gt_full_b)                      # [B, S]
-    mp_all = mpjpe(pred_kp3d, gt_full_b, pelvis_align=True)
     vis_s = jnp.broadcast_to(vis[:, None], (B, S, 24))
+    g_mpjpe = mpjpe(pred_kp3d_full, gt_full_b)                      # [B, S]
+    g_vis = mpjpe(pred_kp3d_full, gt_full_b, mask=vis_s)
+    g_invis = mpjpe(pred_kp3d_full, gt_full_b, mask=1.0 - vis_s)
+    mp_all = mpjpe(pred_kp3d, gt_full_b, pelvis_align=True)
     mp_vis = mpjpe(pred_kp3d, gt_full_b, pelvis_align=True, mask=vis_s)
     mp_invis = mpjpe(pred_kp3d, gt_full_b, pelvis_align=True,
                      mask=1.0 - vis_s)
@@ -181,8 +189,19 @@ def evaluate_batch(
     pred_kp3d_local = outputs["pred_keypoints_3d"][:, :, :24]
     pred_verts = outputs["pred_vertices"]  # [B, S, V, 3]
     gt_verts_b = jnp.broadcast_to(gt_verts[:, None], pred_verts.shape)
+    # per-vertex visibility from projecting GT vertices (reference :381-389)
+    vertex_vis = joint_visibility_mask(
+        gt_verts, cond.focal_length, cond.camera_center,
+        cfg.full_img_w, cfg.full_img_h).astype(jnp.float32)  # [B, V]
+    vvis_s = jnp.broadcast_to(vertex_vis[:, None],
+                              (B, S, vertex_vis.shape[-1]))
     v2v_all = v2v(pred_verts, gt_verts_b,
                   pred_kp3d_local[:, :, 0], gt_full_b[:, :, 0])
+    v2v_vis = v2v(pred_verts, gt_verts_b,
+                  pred_kp3d_local[:, :, 0], gt_full_b[:, :, 0], mask=vvis_s)
+    v2v_invis = v2v(pred_verts, gt_verts_b,
+                    pred_kp3d_local[:, :, 0], gt_full_b[:, :, 0],
+                    mask=1.0 - vvis_s)
 
     # diversity over the S sample bodies (pelvis-aligned joints; :456-494)
     samples = pred_kp3d_full - pred_kp3d_full[:, :, :1]
@@ -207,14 +226,22 @@ def evaluate_batch(
             coll = collision_ratio(sdf, mask.astype(sdf.dtype)).reshape(B, S)
         if eval_contact:
             dmin = min_body_scene_distance(verts_flat, scene_s)
-            contact = (dmin < contact_thresh).astype(jnp.float32).reshape(B, S)
+            # parity: the reference thresholds pytorch3d chamfer dists, which
+            # are SQUARED (test_egohmr.py:500-503 + pytorch3d_chamfer_distance
+            # .py:155 knn dists) — so 0.02 applies to dist², not dist
+            contact = (jnp.square(dmin) < contact_thresh).astype(
+                jnp.float32).reshape(B, S)
 
     return EvalResult(
-        g_mpjpe=g_mpjpe, mpjpe_all=mp_all, mpjpe_vis=mp_vis,
+        g_mpjpe=g_mpjpe, g_mpjpe_vis=g_vis, g_mpjpe_invis=g_invis,
+        mpjpe_all=mp_all, mpjpe_vis=mp_vis,
         mpjpe_invis=mp_invis, pa_mpjpe_all=pa_all, pa_mpjpe_vis=pa_vis,
-        pa_mpjpe_invis=pa_invis, v2v_all=v2v_all,
+        pa_mpjpe_invis=pa_invis,
+        v2v_all=v2v_all, v2v_vis=v2v_vis, v2v_invis=v2v_invis,
         std_all=std_all, std_vis=std_vis, std_invis=std_invis,
         apd_all=apd_all, apd_vis=apd_vis, apd_invis=apd_invis,
         coll_ratio=coll, contact=contact,
         vis_count=jnp.sum(vis, axis=-1), invis_count=jnp.sum(invis, axis=-1),
+        vertex_vis_count=jnp.sum(vertex_vis, axis=-1),
+        vertex_invis_count=jnp.sum(1.0 - vertex_vis, axis=-1),
     )

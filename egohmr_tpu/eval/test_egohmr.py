@@ -167,19 +167,25 @@ def main(argv=None):
     # an empty vis/invis mask contribute nothing (the reference accumulates
     # joint-error sums over the whole split, test_egohmr.py:633-640)
     weight_key = {"mpjpe_vis": "vis", "pa_mpjpe_vis": "vis", "std_vis": "vis",
-                  "apd_vis": "vis", "mpjpe_invis": "invis",
-                  "pa_mpjpe_invis": "invis", "std_invis": "invis",
-                  "apd_invis": "invis"}
+                  "apd_vis": "vis", "g_mpjpe_vis": "vis",
+                  "mpjpe_invis": "invis", "pa_mpjpe_invis": "invis",
+                  "std_invis": "invis", "apd_invis": "invis",
+                  "g_mpjpe_invis": "invis",
+                  "v2v_vis": "vvis", "v2v_invis": "vinvis"}
     for i, batch in enumerate(batches()):
         key, sub = jax.random.split(key)
         res, outputs = run_batch(batch, sub)
         res = jax.device_get(res)
         n_images += len(np.asarray(res.g_mpjpe))
         counts = {"vis": np.asarray(res.vis_count),
-                  "invis": np.asarray(res.invis_count)}
-        for name in ("g_mpjpe", "mpjpe_all", "mpjpe_vis", "mpjpe_invis",
+                  "invis": np.asarray(res.invis_count),
+                  "vvis": np.asarray(res.vertex_vis_count),
+                  "vinvis": np.asarray(res.vertex_invis_count)}
+        for name in ("g_mpjpe", "g_mpjpe_vis", "g_mpjpe_invis",
+                     "mpjpe_all", "mpjpe_vis", "mpjpe_invis",
                      "pa_mpjpe_all", "pa_mpjpe_vis", "pa_mpjpe_invis",
-                     "v2v_all", "std_all", "std_vis", "std_invis",
+                     "v2v_all", "v2v_vis", "v2v_invis",
+                     "std_all", "std_vis", "std_invis",
                      "apd_all", "apd_vis", "apd_invis", "coll_ratio",
                      "contact"):
             v = getattr(res, name)
