@@ -1,6 +1,7 @@
 from .sdf import (
     NearestResult,
     bbox_mask,
+    chamfer_distance,
     collision_loss,
     collision_ratio,
     min_body_scene_distance,
@@ -11,6 +12,7 @@ from .sdf import (
 __all__ = [
     "NearestResult",
     "bbox_mask",
+    "chamfer_distance",
     "collision_loss",
     "collision_ratio",
     "min_body_scene_distance",

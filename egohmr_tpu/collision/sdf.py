@@ -147,6 +147,21 @@ def collision_ratio(sdf: Array, mask: Optional[Array] = None) -> Array:
     return jnp.sum(inside, axis=-1) / sdf.shape[-1]
 
 
+def chamfer_distance(
+    x: Array, y: Array, *, block_size: int = 2048
+) -> Tuple[Array, Array]:
+    """Per-point SQUARED nearest-neighbor distances both directions.
+
+    x: [B, P1, 3]; y: [B, P2, 3] -> (cham_x [B, P1], cham_y [B, P2]).
+    Matches the reference's vendored pytorch3d chamfer (squared dists;
+    reference utils/pytorch3d_chamfer_distance.py:70-156), which it uses for
+    the contact metric (test_egohmr.py:497-505).
+    """
+    dx = nearest_vertex(x, y, block_size=block_size).dist
+    dy = nearest_vertex(y, x, block_size=block_size).dist
+    return jnp.square(dx), jnp.square(dy)
+
+
 def min_body_scene_distance(
     verts: Array, scene: Array, *, block_size: int = 2048
 ) -> Array:

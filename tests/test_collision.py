@@ -78,3 +78,17 @@ def test_min_body_scene_distance(rng):
         np.asarray(verts)[0][:, None] - np.asarray(scene)[0][None], axis=-1
     ).min()
     np.testing.assert_allclose(d, brute, rtol=1e-4)
+
+
+def test_chamfer_distance_squared(rng):
+    from egohmr_tpu.collision import chamfer_distance
+
+    x = jnp.asarray(rng.randn(1, 50, 3).astype(np.float32))
+    y = jnp.asarray(rng.randn(1, 80, 3).astype(np.float32))
+    cx, cy = chamfer_distance(x, y, block_size=16)
+    d = np.linalg.norm(np.asarray(x)[0][:, None] - np.asarray(y)[0][None],
+                       axis=-1)
+    np.testing.assert_allclose(np.asarray(cx)[0], (d.min(1)) ** 2,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cy)[0], (d.min(0)) ** 2,
+                               rtol=1e-3, atol=1e-5)
