@@ -144,9 +144,10 @@ def main():
             t0 = time.time()
             jf(batch, jax.random.PRNGKey(i + 1)).block_until_ready()
             times.append(time.time() - t0)
-        dt = min(times)
-        print(f"# {tag}: compile {compile_s:.1f}s, best {dt*1e3:.1f}ms "
-              f"-> {B/dt:.1f} samples/s", file=sys.stderr)
+        dt = sorted(times)[len(times) // 2]  # median = honest p50
+        print(f"# {tag}: compile {compile_s:.1f}s, p50 {dt*1e3:.1f}ms "
+              f"(best {min(times)*1e3:.1f}) -> {B/dt:.1f} samples/s",
+              file=sys.stderr)
         return B / dt, dt
 
     fused_sps, fused_dt = time_fn(fused, "fused")

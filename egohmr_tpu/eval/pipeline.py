@@ -178,10 +178,15 @@ def evaluate_batch(
     mp_invis = mpjpe(pred_kp3d, gt_full_b, pelvis_align=True,
                      mask=1.0 - vis_s)
 
+    # Procrustes on PELVIS-ALIGNED coordinates like the reference
+    # (test_egohmr.py:421-431): the vis-masked fit zeroes invisible joints,
+    # which is only translation-safe on aligned (near-zero-mean) coords.
+    pred_align = pred_kp3d - pred_kp3d[:, :, :1]
+    gt_align = gt_full_b - gt_full_b[:, :, :1]
     vm = vis_s if eval_with_vis_mask_pa else None
-    pa_all = pa_mpjpe(pred_kp3d, gt_full_b, vis_mask=vm)
-    pa_vis = pa_mpjpe(pred_kp3d, gt_full_b, vis_mask=vm, mask=vis_s)
-    pa_invis = pa_mpjpe(pred_kp3d, gt_full_b, vis_mask=vm, mask=1.0 - vis_s)
+    pa_all = pa_mpjpe(pred_align, gt_align, vis_mask=vm)
+    pa_vis = pa_mpjpe(pred_align, gt_align, vis_mask=vm, mask=vis_s)
+    pa_invis = pa_mpjpe(pred_align, gt_align, vis_mask=vm, mask=1.0 - vis_s)
 
     # v2v in the LOCAL body frame: pred_vertices carry no translation, so the
     # pelvis must come from the local joints (reference test_egohmr.py:426-448

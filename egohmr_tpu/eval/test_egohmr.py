@@ -92,7 +92,9 @@ def main(argv=None):
                  else args.timestep_respacing_eval)
     schedule = make_schedule(args.num_diffusion_timesteps, "cosine", respacing)
     sampler = "ddpm" if respacing == "" else "ddim"
-    with_guidance = args.with_coap_grad and sampler == "ddpm"
+    # the reference threads cond_fn_with_grad into BOTH samplers
+    # (gaussian_diffusion.py:764-772; DDIM uses the t<=3 eps-shift variant)
+    with_guidance = args.with_coap_grad
     guidance = GuidanceConfig(cond_grad_weight=args.cond_grad_weight)
 
     # ---------------- model + stats
@@ -111,12 +113,28 @@ def main(argv=None):
         stats = BodyRepStats(mean=jnp.asarray(mean), std=jnp.asarray(std))
 
     # ---------------- data
+    def _pad_batch(b, target):
+        """Pad a short final batch to the jitted shape by repeating the last
+        item (its metrics get zero weight via n_valid) — avoids a full
+        recompile of the pipeline for one odd-shaped batch."""
+        def pad(x):
+            if isinstance(x, dict):
+                return {k: pad(v) for k, v in x.items()}
+            if isinstance(x, list):
+                return x + [x[-1]] * (target - len(x))
+            reps = [1] * x.ndim
+            pad_n = target - x.shape[0]
+            return np.concatenate([x, np.repeat(x[-1:], pad_n, axis=0)])
+
+        return pad(b)
+
     if args.synthetic:
         from ..data.synthetic import synthetic_batch
 
         def batches():
             for i in range(args.num_batches or 4):
-                yield synthetic_batch(args.batch_size, seed=100 + i)
+                yield synthetic_batch(args.batch_size, seed=100 + i), \
+                    args.batch_size
 
     else:
         from ..data.egobody import EgoBodyDataset, to_device_batch
@@ -136,13 +154,17 @@ def main(argv=None):
 
         def batches():
             # drop_last=False: evaluate the FULL test split like the
-            # reference DataLoader (partial final batch included)
+            # reference DataLoader; a short final batch is padded to the
+            # jitted shape and trimmed from the metrics
             it = ds.iter_batches(args.batch_size, shuffle=False,
                                  drop_last=False)
             for i, b in enumerate(it):
                 if args.num_batches and i >= args.num_batches:
                     break
-                yield to_device_batch(b)
+                n = b["img"].shape[0]
+                if n < args.batch_size:
+                    b = _pad_batch(b, args.batch_size)
+                yield to_device_batch(b), n
 
     @jax.jit
     def run_batch(batch, key):
@@ -163,24 +185,31 @@ def main(argv=None):
     weights_acc: dict = {}
     saved = []
     n_images = 0
-    # masked metrics aggregate weighted by their joint counts so images with
-    # an empty vis/invis mask contribute nothing (the reference accumulates
-    # joint-error sums over the whole split, test_egohmr.py:633-640)
-    weight_key = {"mpjpe_vis": "vis", "pa_mpjpe_vis": "vis", "std_vis": "vis",
-                  "apd_vis": "vis", "g_mpjpe_vis": "vis",
+    # error metrics aggregate weighted by joint/vertex counts (the reference
+    # accumulates error SUMS over the whole split and divides by the global
+    # count, test_egohmr.py:633-654); diversity metrics are plain per-image
+    # means over images with a nonempty mask (reference :541-550 averages
+    # per-image values, nan-filtering empty-mask images) -> indicator weights
+    weight_key = {"mpjpe_vis": "vis", "pa_mpjpe_vis": "vis",
+                  "g_mpjpe_vis": "vis",
                   "mpjpe_invis": "invis", "pa_mpjpe_invis": "invis",
-                  "std_invis": "invis", "apd_invis": "invis",
                   "g_mpjpe_invis": "invis",
-                  "v2v_vis": "vvis", "v2v_invis": "vinvis"}
-    for i, batch in enumerate(batches()):
+                  "v2v_vis": "vvis", "v2v_invis": "vinvis",
+                  "std_vis": "vis_any", "apd_vis": "vis_any",
+                  "std_invis": "invis_any", "apd_invis": "invis_any"}
+    for i, (batch, n_valid) in enumerate(batches()):
         key, sub = jax.random.split(key)
         res, outputs = run_batch(batch, sub)
         res = jax.device_get(res)
-        n_images += len(np.asarray(res.g_mpjpe))
+        res = jax.tree_util.tree_map(
+            lambda a: np.asarray(a)[:n_valid], res)  # drop padded rows
+        n_images += n_valid
         counts = {"vis": np.asarray(res.vis_count),
                   "invis": np.asarray(res.invis_count),
                   "vvis": np.asarray(res.vertex_vis_count),
                   "vinvis": np.asarray(res.vertex_invis_count)}
+        counts["vis_any"] = (counts["vis"] > 0).astype(np.float32)
+        counts["invis_any"] = (counts["invis"] > 0).astype(np.float32)
         for name in ("g_mpjpe", "g_mpjpe_vis", "g_mpjpe_invis",
                      "mpjpe_all", "mpjpe_vis", "mpjpe_invis",
                      "pa_mpjpe_all", "pa_mpjpe_vis", "pa_mpjpe_invis",
@@ -202,8 +231,8 @@ def main(argv=None):
             weights_acc.setdefault(name, []).append(w.reshape(-1))
         if args.save_results:
             saved.append({
-                "pred_pose_6d": np.asarray(outputs["pred_pose_6d"]),
-                "pred_betas": np.asarray(outputs["pred_betas"]),
+                "pred_pose_6d": np.asarray(outputs["pred_pose_6d"])[:n_valid],
+                "pred_betas": np.asarray(outputs["pred_betas"])[:n_valid],
             })
         if args.render and i == 0:
             _render_batch(args, cfg, smpl_n, batch, outputs)
@@ -240,7 +269,12 @@ def _render_batch(args, cfg, smpl, batch, outputs):
 
     os.makedirs(args.output_render_root, exist_ok=True)
     verts = np.asarray(outputs["pred_vertices"][:, 0])  # [B, V, 3]
-    transl = np.asarray(batch["smpl_params"]["transl"])
+    # samples were generated with the stage-1 translation when present
+    # (sample_bodies swaps it in its local copy) — render with the same one
+    if args.two_stage and "stage1_transl_full" in batch:
+        transl = np.asarray(batch["stage1_transl_full"])
+    else:
+        transl = np.asarray(batch["smpl_params"]["transl"])
     fx = np.asarray(batch["fx"]) * cfg.fx_norm_coeff
     cx = np.asarray(batch["cam_cx"])
     cy = np.asarray(batch["cam_cy"])
@@ -258,10 +292,6 @@ def _render_batch(args, cfg, smpl, batch, outputs):
 
 
 def _load_params(checkpoint: str, cfg):
-    import jax
-
-    from ..models import init_egohmr
-
     if checkpoint.endswith(".pt"):
         from ..interop.torch_convert import convert_egohmr, load_torch_checkpoint
 
@@ -269,7 +299,6 @@ def _load_params(checkpoint: str, cfg):
         return convert_egohmr(sd, num_layers=cfg.gcn_layers)
     from ..utils.checkpoint import restore_checkpoint
 
-    template = init_egohmr(jax.random.PRNGKey(0), cfg)
     state = restore_checkpoint(checkpoint)
     return state["params"] if "params" in state else state
 

@@ -168,7 +168,12 @@ def main(argv=None):
                     yield to_device_batch(b)
                 epoch += 1
 
-        batch_iter = batches()
+        # background-thread prefetch: decode/augment the next batch while the
+        # current step runs (replaces the reference's DataLoader workers)
+        from ..data.prefetch import prefetch_to_device
+
+        batch_iter = prefetch_to_device(batches(), size=2,
+                                        device_put=lambda x: x)
 
     params = init_egohmr(jax.random.PRNGKey(args.seed), cfg)
     if args.load_pretrained_ckpt.endswith(".pt"):
@@ -211,6 +216,61 @@ def main(argv=None):
     writer = MetricsWriter(args.save_dir)
     key = jax.random.PRNGKey(args.seed + 1)
 
+    # ---------------- validation (best-model selection on the visible-3d-
+    # joint error, like the reference train_egohmr.py:175-223)
+    eval_respacing = ("" if args.timestep_respacing_eval == "ddpm"
+                      else args.timestep_respacing_eval)
+    eval_schedule = make_schedule(args.num_diffusion_timesteps, "cosine",
+                                  eval_respacing)
+
+    from ..models import compute_loss as _compute_loss, model_outputs
+    from ..models.egohmr import make_denoise_fn
+    from ..diffusion import sample_loop
+    from ..models import compute_condition
+
+    @jax.jit
+    def val_step(p, batch, k):
+        B = batch["img"].shape[0]
+        cond, _ = compute_condition(p, cfg, batch)
+        denoise = make_denoise_fn(p, cfg, cond)
+        _, x0 = sample_loop(eval_schedule, denoise, k, (B, 144),
+                            sampler="ddpm" if eval_respacing == "" else "ddim")
+        outputs = model_outputs(cfg, smpl_n, cond, x0, stats)
+        _, losses = _compute_loss(cfg, weights, smpl_n, smpl_m, smpl_f,
+                                  batch, cond, outputs, train=False)
+        return (losses["loss_keypoints_3d_vis_batch_sum"],
+                losses["joint_vis_num_batch"])
+
+    if args.synthetic:
+        val_batches = [synthetic_batch(args.batch_size, seed=10_000)]
+    else:
+        val_file = args.dataset_file_val or os.path.join(
+            args.dataset_root, "annotation_egocentric_smpl_npz",
+            "egocapture_val_smpl.npz")
+        try:
+            val_ds = EgoBodyDataset(
+                dataset_file=val_file, data_root=args.dataset_root,
+                split="val", train=False, spacing=20,  # eval_spacing=20 (ref :53)
+                scene_type=args.scene_type, scene_cano=args.scene_cano,
+                add_scale=args.add_bbox_scale,
+            )
+            val_batches = [to_device_batch(b) for b in
+                           val_ds.iter_batches(args.batch_size, shuffle=False)]
+        except (FileNotFoundError, KeyError) as e:
+            logger.warning("no val split (%s); skipping validation", e)
+            val_batches = []
+
+    def run_validation(p, k):
+        err_sum, vis_num = 0.0, 0.0
+        for vb in val_batches:
+            k, sub = jax.random.split(k)
+            e, n = val_step(p, vb, sub)
+            err_sum += float(e)
+            vis_num += float(n)
+        return err_sum / max(vis_num, 1.0)
+
+    best_val = float("inf")
+
     t0 = time.time()
     for step in range(start_step, args.num_steps):
         batch = next(batch_iter)
@@ -226,6 +286,18 @@ def main(argv=None):
             writer.write(step, m)
             logger.info("step %d loss %.4f (%.2f s/step)", step, m["loss"],
                         (time.time() - t0) / max(step - start_step + 1, 1))
+        if val_batches and step % args.val_step == 0 and step > start_step:
+            key, sub = jax.random.split(key)
+            val_err = run_validation(params, sub)
+            writer.write(step, {"val_keypoints_3d_vis": val_err})
+            logger.info("step %d val vis-3d-joint err %.4f (best %.4f)",
+                        step, val_err, best_val)
+            if val_err < best_val:
+                best_val = val_err
+                save_checkpoint(os.path.join(ckpt_dir, "best_model_vis"),
+                                {"params": jax.device_get(params),
+                                 "opt_state": jax.device_get(opt_state),
+                                 "step": step})
         if step % args.save_step == 0 and step > start_step:
             save_checkpoint(os.path.join(ckpt_dir, f"step_{step}"),
                             {"params": jax.device_get(params),

@@ -129,13 +129,19 @@ def main(argv=None):
         )
         mocap = MoCapDataset(args.cmu_mocap_file)
 
-        def batches():
+        def _raw_batches():
             epoch = 0
             while True:
                 for bt in ds.iter_batches(args.batch_size, seed=epoch):
                     bt = finalize_batch(bt, smpl_m, smpl_f)
                     yield to_device_batch(bt)
                 epoch += 1
+
+        def batches():
+            from ..data.prefetch import prefetch_to_device
+
+            return prefetch_to_device(_raw_batches(), size=2,
+                                      device_put=lambda x: x)
 
         def mocap_batches():
             while True:
