@@ -63,6 +63,9 @@ def parse_args(argv=None):
                    help="save body-overlay renders for the first batch "
                         "(reference test_egohmr.py:41-44)")
     p.add_argument("--output_render_root", type=str, default="output_render")
+    p.add_argument("--data_parallel", type=b, default=True,
+                   help="shard eval batches across all local devices "
+                        "(batch_size must divide by the device count)")
     return p.parse_args(argv)
 
 
@@ -166,6 +169,16 @@ def main(argv=None):
                     b = _pad_batch(b, args.batch_size)
                 yield to_device_batch(b), n
 
+    # data-parallel eval: the whole pipeline is per-sample, so sharding the
+    # batch over a 1-D mesh lets XLA partition every op with no code changes
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1 \
+            and args.batch_size % len(jax.devices()) == 0:
+        from ..parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh()
+        params = replicate(mesh, params)
+
     @jax.jit
     def run_batch(batch, key):
         outputs, cond = sample_bodies(
@@ -199,6 +212,10 @@ def main(argv=None):
                   "std_invis": "invis_any", "apd_invis": "invis_any"}
     for i, (batch, n_valid) in enumerate(batches()):
         key, sub = jax.random.split(key)
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            batch = shard_batch(mesh, batch)
         res, outputs = run_batch(batch, sub)
         res = jax.device_get(res)
         res = jax.tree_util.tree_map(
