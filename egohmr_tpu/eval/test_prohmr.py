@@ -69,7 +69,8 @@ def main(argv=None):
 
         def batches():
             for i in range(args.num_batches or 2):
-                yield synthetic_batch(args.batch_size, seed=200 + i)
+                yield synthetic_batch(args.batch_size, seed=200 + i), \
+                    args.batch_size
 
     else:
         smpl_n = smpl_create(args.smpl_model_path, "neutral")
@@ -98,7 +99,23 @@ def main(argv=None):
                                                    drop_last=False)):
                 if args.num_batches and i >= args.num_batches:
                     break
-                yield to_device_batch(bt)
+                n = bt["img"].shape[0]
+                if n < args.batch_size:
+                    # pad the short final batch to the jitted shape (trimmed
+                    # below) instead of recompiling the whole pipeline
+                    import numpy as _np
+
+                    def pad(x):
+                        if isinstance(x, dict):
+                            return {k: pad(v) for k, v in x.items()}
+                        if isinstance(x, list):
+                            return x + [x[-1]] * (args.batch_size - len(x))
+                        return _np.concatenate(
+                            [x, _np.repeat(x[-1:], args.batch_size - n,
+                                           axis=0)])
+
+                    bt = pad(bt)
+                yield to_device_batch(bt), n
 
     @jax.jit
     def run_batch(batch, key):
@@ -127,9 +144,10 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     acc: dict = {}
     cam_full = []
-    for batch in batches():
+    for batch, n_valid in batches():
         key, sub = jax.random.split(key)
         res = jax.device_get(run_batch(batch, sub))
+        res = {k: np.asarray(v)[:n_valid] for k, v in res.items()}
         cam_full.append(res.pop("pred_cam_full"))
         for k, v in res.items():
             acc.setdefault(k, []).append(v)
