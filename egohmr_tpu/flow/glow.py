@@ -81,7 +81,9 @@ def init_lu_linear(features: int, eps: float = 1e-3) -> dict:
     return {
         "lower_entries": jnp.zeros((n_tri,)),
         "upper_entries": jnp.zeros((n_tri,)),
-        "unconstrained_upper_diag": jnp.full((features,), diag0),
+        # explicit dtype: weak-typed param leaves force train-step retraces
+        "unconstrained_upper_diag": jnp.full((features,), diag0,
+                                             dtype=jnp.float32),
         "bias": jnp.zeros((features,)),
     }
 

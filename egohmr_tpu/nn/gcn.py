@@ -37,7 +37,10 @@ def modulated_gconv_init(
     return {
         "W": _xavier(kw, (2, in_dim, out_dim), gain=1.414),
         "M": _xavier(km, (n_nodes, out_dim), gain=1.414),
-        "adj2": jnp.full((n_nodes, n_nodes), 1e-6),
+        # explicit dtype: a python-float fill makes the leaf weak-typed,
+        # which flips to strong after one optimizer step and forces TWO full
+        # retraces of the jitted train step (20-min remote compiles here)
+        "adj2": jnp.full((n_nodes, n_nodes), 1e-6, dtype=jnp.float32),
         "bias": jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound),
     }
 

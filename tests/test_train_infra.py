@@ -145,3 +145,37 @@ def test_training_overfits_fixed_batch():
     # the synthetic-data loss has a large irreducible floor (random GT,
     # random SMPL); ~30% reduction by step 120 is the calibrated signal
     assert late < 0.8 * early, (early, late)
+
+
+def test_no_param_leaf_is_weak_typed():
+    """Weak-typed param leaves flip to strong after one optimizer step and
+    force full retraces of the jitted train step (caught on the real TPU:
+    each retrace is a 20-min remote compile)."""
+    from egohmr_tpu.models.discriminator import init_discriminator
+    from egohmr_tpu.models.prohmr import ProHMRConfig, init_prohmr
+
+    trees = {
+        "egohmr": init_egohmr(jax.random.PRNGKey(0), TINY),
+        "prohmr": init_prohmr(jax.random.PRNGKey(0), ProHMRConfig(
+            img_feat_dim=16, backbone_type="stub", scene_feat_dim=8,
+            pointnet_hidden_dim=4, flow_hidden=8, flow_layers=1,
+            flow_depth=1, fc_head_hidden=8)),
+        "disc": init_discriminator(jax.random.PRNGKey(0)),
+    }
+    for name, tree in trees.items():
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            assert not getattr(leaf, "weak_type", False), (
+                name, jax.tree_util.keystr(path))
+
+
+def test_train_step_does_not_retrace():
+    """Feeding the step's own outputs back must hit the jit cache."""
+    params, stats, smpl, schedule, tcfg, opt = _setup()
+    step = make_train_step(TINY, tcfg, LossWeights(), schedule, stats,
+                           smpl, smpl, smpl, opt)
+    opt_state = opt.init(params)
+    batch = synthetic_batch(2, num_scene_points=64, img_size=32)
+    p, o = params, opt_state
+    for i in range(3):
+        p, o, _ = step(p, o, batch, jax.random.PRNGKey(i))
+    assert step._cache_size() == 1, step._cache_size()
