@@ -116,20 +116,7 @@ def main(argv=None):
         stats = BodyRepStats(mean=jnp.asarray(mean), std=jnp.asarray(std))
 
     # ---------------- data
-    def _pad_batch(b, target):
-        """Pad a short final batch to the jitted shape by repeating the last
-        item (its metrics get zero weight via n_valid) — avoids a full
-        recompile of the pipeline for one odd-shaped batch."""
-        def pad(x):
-            if isinstance(x, dict):
-                return {k: pad(v) for k, v in x.items()}
-            if isinstance(x, list):
-                return x + [x[-1]] * (target - len(x))
-            reps = [1] * x.ndim
-            pad_n = target - x.shape[0]
-            return np.concatenate([x, np.repeat(x[-1:], pad_n, axis=0)])
-
-        return pad(b)
+    from ..data.batching import pad_batch as _pad_batch
 
     if args.synthetic:
         from ..data.synthetic import synthetic_batch

@@ -233,7 +233,18 @@ def compute_condition(
     # train-time condition dropout with prob cond_mask_prob (reference :159-167)
     if train and cfg.cond_mask_prob > 0.0:
         assert rng is not None, "training condition masking needs an rng"
-        drop = jax.random.bernoulli(rng, cfg.cond_mask_prob, (B,))
+        # rng may be one key (batch draw) or B per-sample keys — the latter
+        # makes the draw invariant to data-parallel sharding (train/loop.py)
+        batched = (
+            jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key)
+            and rng.ndim == 1
+        ) or rng.ndim == 2
+        if batched:
+            drop = jax.vmap(
+                lambda k: jax.random.bernoulli(k, cfg.cond_mask_prob, ())
+            )(rng)
+        else:
+            drop = jax.random.bernoulli(rng, cfg.cond_mask_prob, (B,))
         cond = jnp.where(drop[:, None, None], cond_uncond, cond)
 
     # betas head sees the UNMASKED image features (reference :262-265)
@@ -554,6 +565,9 @@ def compute_loss(
         vis = ((gt_kp2d_smpl[..., 0] >= 0) & (gt_kp2d_smpl[..., 0] < cfg.full_img_w)
                & (gt_kp2d_smpl[..., 1] >= 0) & (gt_kp2d_smpl[..., 1] < cfg.full_img_h))
         err = jnp.linalg.norm(pa(pred_kp3d) - pa(gt_kp3d), axis=-1) * vis
+        # per-sample sums so callers can mask out padded batch rows
+        losses["loss_keypoints_3d_vis_per_sample"] = jnp.sum(err, axis=1)
+        losses["joint_vis_num_per_sample"] = jnp.sum(vis, axis=1)
         losses["loss_keypoints_3d_vis_batch_sum"] = jnp.sum(err)
         losses["joint_vis_num_batch"] = jnp.sum(vis)
 

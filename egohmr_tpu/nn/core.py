@@ -101,6 +101,11 @@ def batchnorm(
         n = 1
         for ax in reduce_axes:
             n *= x.shape[ax]
+        if axis_name is not None:
+            # cross-replica BN reduces over the global batch: the unbiased
+            # correction must use the global count, not the shard-local one
+            # (also makes the 1-way and N-way steps bitwise-comparable)
+            n *= jax.lax.axis_size(axis_name)
         # torch tracks unbiased variance in running stats
         unbiased = var * (n / max(n - 1, 1))
         new_params = dict(params)

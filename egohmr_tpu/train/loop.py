@@ -101,13 +101,29 @@ def stage2_loss(
     Returns (loss, (metrics, params_with_new_bn_state)).
     """
     B = batch["img"].shape[0]
-    k_t, k_noise, k_mask = jax.random.split(key, 3)
+    # Per-sample keys derived from the GLOBAL sample index: an N-way sharded
+    # step draws exactly the same t/noise/cond-mask as the 1-way step on the
+    # concatenated batch, so data parallelism changes nothing but wall-clock
+    # (guarded by tests/test_train_infra.py DP-parity allclose).
+    if axis_name is not None:
+        offset = jax.lax.axis_index(axis_name) * B
+    else:
+        offset = 0
+    sample_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        offset + jnp.arange(B)
+    )
+    ks = jax.vmap(lambda k: jax.random.split(k, 3))(sample_keys)
+    k_t, k_noise, k_mask = ks[:, 0], ks[:, 1], ks[:, 2]
 
     # UniformSampler (reference resample.py:61; the only sampler in use)
-    t = jax.random.randint(k_t, (B,), 0, schedule.num_timesteps)
+    t = jax.vmap(
+        lambda k: jax.random.randint(k, (), 0, schedule.num_timesteps)
+    )(k_t)
 
     x_start = gt_pose_to_x_start(batch, stats)
-    noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
+    noise = jax.vmap(
+        lambda k, x: jax.random.normal(k, x.shape, x.dtype)
+    )(k_noise, x_start)
     x_t = q_sample(schedule, x_start, t, noise)
 
     cond, p1 = compute_condition(
@@ -161,9 +177,8 @@ def make_train_step(
     """
 
     def step(params, opt_state, batch, key, *, axis_name=None):
-        if axis_name is not None:
-            # decorrelate RNG across shards (noise/t draws must differ)
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        # per-shard RNG decorrelation happens inside stage2_loss via
+        # global-sample-index keys (shard-count invariant)
         (loss, (metrics, fwd_params)), grads = jax.value_and_grad(
             stage2_loss, has_aux=True
         )(

@@ -238,11 +238,17 @@ def main(argv=None):
         outputs = model_outputs(cfg, smpl_n, cond, x0, stats)
         _, losses = _compute_loss(cfg, weights, smpl_n, smpl_m, smpl_f,
                                   batch, cond, outputs, train=False)
-        return (losses["loss_keypoints_3d_vis_batch_sum"],
-                losses["joint_vis_num_batch"])
+        return (losses["loss_keypoints_3d_vis_per_sample"],
+                losses["joint_vis_num_per_sample"])
+
+    # val batches as (batch, n_valid): the short final batch is padded to
+    # the compiled shape (one odd shape = one extra 15-30 min remote compile)
+    # and its padded rows masked out of the metric via n_valid
+    from ..data.batching import pad_batch
 
     if args.synthetic:
-        val_batches = [synthetic_batch(args.batch_size, seed=10_000)]
+        val_batches = [(synthetic_batch(args.batch_size, seed=10_000),
+                        args.batch_size)]
     else:
         val_file = args.dataset_file_val or os.path.join(
             args.dataset_root, "annotation_egocentric_smpl_npz",
@@ -254,19 +260,24 @@ def main(argv=None):
                 scene_type=args.scene_type, scene_cano=args.scene_cano,
                 add_scale=args.add_bbox_scale,
             )
-            val_batches = [to_device_batch(b) for b in
-                           val_ds.iter_batches(args.batch_size, shuffle=False)]
+            val_batches = []
+            for b in val_ds.iter_batches(args.batch_size, shuffle=False,
+                                         drop_last=False):
+                n = b["img"].shape[0]
+                if n < args.batch_size:
+                    b = pad_batch(b, args.batch_size)
+                val_batches.append((to_device_batch(b), n))
         except (FileNotFoundError, KeyError) as e:
             logger.warning("no val split (%s); skipping validation", e)
             val_batches = []
 
     def run_validation(p, k):
         err_sum, vis_num = 0.0, 0.0
-        for vb in val_batches:
+        for vb, n_valid in val_batches:
             k, sub = jax.random.split(k)
             e, n = val_step(p, vb, sub)
-            err_sum += float(e)
-            vis_num += float(n)
+            err_sum += float(np.sum(np.asarray(e)[:n_valid]))
+            vis_num += float(np.sum(np.asarray(n)[:n_valid]))
         return err_sum / max(vis_num, 1.0)
 
     best_val = float("inf")

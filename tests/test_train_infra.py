@@ -51,35 +51,65 @@ def test_bn_stats_not_touched_by_optimizer():
 
 
 def test_multidevice_step_matches_single_device():
-    """The 8-way DP step must produce (approximately) the same update as the
-    single-device step on the same global batch."""
+    """The 8-way DP step must produce elementwise the same update as the
+    single-device step on the same global batch: per-sample RNG is derived
+    from the global sample index, grads/metrics are pmean'd, and BN uses
+    global-batch statistics, so sharding must change nothing but wall-clock.
+    """
     from egohmr_tpu.parallel import make_mesh, replicate, shard_batch
 
-    params, stats, smpl, schedule, tcfg, opt = _setup()
+    import optax
+
+    params, stats, smpl, schedule, tcfg, _ = _setup()
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     batch = synthetic_batch(8, num_scene_points=64, img_size=32)
-    opt_state = opt.init(params)
-
-    single = make_train_step(TINY, tcfg, LossWeights(), schedule, stats,
-                             smpl, smpl, smpl, opt)
-    p1, _, m1 = single(params, opt_state, batch, jax.random.PRNGKey(0))
-
+    key = jax.random.PRNGKey(0)
     mesh = make_mesh(8)
+
+    # SGD: the update IS lr*pmean(grad), so allclose on the updated pytree
+    # verifies the gradient reduction elementwise. (Adam's first step is
+    # ~lr*sign(grad); leaves with mathematically-zero grads — e.g. conv bias
+    # feeding BatchNorm — would amplify float noise into full ±lr flips.)
+    sgd = optax.sgd(1e-2)
+    opt_state = sgd.init(params)
+    single = make_train_step(TINY, tcfg, LossWeights(), schedule, stats,
+                             smpl, smpl, smpl, sgd)
+    p1, o1, m1 = single(params, opt_state, batch, key)
     multi = make_train_step(TINY, tcfg, LossWeights(), schedule, stats,
-                            smpl, smpl, smpl, opt, mesh=mesh)
-    p8, _, m8 = multi(replicate(mesh, params), replicate(mesh, opt_state),
-                      shard_batch(mesh, batch), jax.random.PRNGKey(0))
-    # RNG folding differs per shard, so losses differ — but both must be
-    # finite and the update magnitudes comparable
-    assert np.isfinite(float(m8["loss"]))
-    d1 = float(jnp.mean(jnp.abs(
-        p1["diffusion_model"]["gconv_output"]["W"]
-        - params["diffusion_model"]["gconv_output"]["W"])))
-    d8 = float(jnp.mean(jnp.abs(
-        p8["diffusion_model"]["gconv_output"]["W"]
-        - params["diffusion_model"]["gconv_output"]["W"])))
-    assert d8 > 0 and d8 < 10 * d1 + 1e-4
+                            smpl, smpl, smpl, sgd, mesh=mesh)
+    p8, o8, m8 = multi(replicate(mesh, params), replicate(mesh, opt_state),
+                       shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    # full updated param pytree, BN running stats included
+    leaves1 = jax.tree_util.tree_leaves_with_path(p1)
+    leaves8 = jax.tree_util.tree_leaves(p8)
+    assert len(leaves1) == len(leaves8)
+    for (path, a), b in zip(leaves1, leaves8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+    # production AdamW path: loss identical, params within the Adam
+    # sign-noise bound (|update| <= lr per element per step)
+    opt = make_optimizer(tcfg)
+    opt_state = opt.init(params)
+    single_a = make_train_step(TINY, tcfg, LossWeights(), schedule, stats,
+                               smpl, smpl, smpl, opt)
+    pa1, _, ma1 = single_a(params, opt_state, batch, key)
+    multi_a = make_train_step(TINY, tcfg, LossWeights(), schedule, stats,
+                              smpl, smpl, smpl, opt, mesh=mesh)
+    pa8, _, ma8 = multi_a(replicate(mesh, params), replicate(mesh, opt_state),
+                          shard_batch(mesh, batch), key)
+    np.testing.assert_allclose(float(ma1["loss"]), float(ma8["loss"]),
+                               rtol=1e-4)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(pa1),
+                            jax.tree_util.tree_leaves(pa8)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2.5 * tcfg.lr,
+            err_msg=jax.tree_util.keystr(path))
 
 
 def test_checkpoint_roundtrip_and_resume(tmp_path):
@@ -119,6 +149,39 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_val_batch_padding_hits_jit_cache():
+    """A short final val batch is padded to the compiled shape; the padded
+    batch must be pytree/shape-identical to a full batch so the jitted val
+    step does NOT retrace (one odd shape = one extra 15-30 min remote
+    compile on the real TPU)."""
+    from egohmr_tpu.data.batching import pad_batch
+
+    full = synthetic_batch(4, num_scene_points=64, img_size=32)
+    short = jax.tree_util.tree_map(lambda x: np.asarray(x)[:3], full)
+    padded = pad_batch(short, 4)
+
+    t_full = jax.tree_util.tree_structure(full)
+    t_pad = jax.tree_util.tree_structure(padded)
+    assert t_full == t_pad
+    for a, b in zip(jax.tree_util.tree_leaves(full),
+                    jax.tree_util.tree_leaves(padded)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+    # padded rows repeat the last valid item
+    np.testing.assert_array_equal(np.asarray(padded["img"])[3],
+                                  np.asarray(padded["img"])[2])
+
+    @jax.jit
+    def f(b):
+        return jnp.sum(b["img"]) + jnp.sum(b["scene_pcd_verts_full"])
+
+    # both CLIs pad BEFORE the host->device transfer, so the jitted step
+    # always sees device arrays of the compiled shape
+    to_dev = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
+    f(to_dev(full))
+    f(to_dev(padded))
+    assert f._cache_size() == 1, f._cache_size()
 
 
 def test_training_overfits_fixed_batch():
