@@ -70,6 +70,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_pretrained_ckpt", type=str, default="",
                    help=".pt (torch, backbone warm start) or orbax dir")
+    p.add_argument("--load_imagenet_ckpt", type=str, default="",
+                   help="torchvision ImageNet resnet50 state_dict (.pt/.pth "
+                        "or flat .npz) for backbone warm start — the "
+                        "reference's default recipe (models/resnet.py:166-255)")
     return p.parse_args(argv)
 
 
@@ -176,6 +180,16 @@ def main(argv=None):
                                         device_put=lambda x: x)
 
     params = init_egohmr(jax.random.PRNGKey(args.seed), cfg)
+    if args.load_imagenet_ckpt:
+        # ImageNet warm start: torchvision model-zoo layout, prefix=""
+        # (reference resnet(cfg, pretrained=True), models/resnet.py:152-255 —
+        # zoo keys merged into the headless model, fc/avgpool keys dropped)
+        from ..interop.torch_convert import convert_resnet, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(args.load_imagenet_ckpt)
+        params["backbone"] = convert_resnet(sd, prefix="")
+        logger.info("warm-started backbone from ImageNet ckpt %s",
+                    args.load_imagenet_ckpt)
     if args.load_pretrained_ckpt.endswith(".pt"):
         # backbone-only warm start from a torch ProHMR checkpoint
         # (reference train_egohmr.py:130-136, strict=False)

@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--load_imagenet_ckpt", type=str, default="",
+                   help="torchvision ImageNet resnet50 state_dict (.pt/.pth "
+                        "or flat .npz) for backbone warm start — the "
+                        "reference's default recipe (models/resnet.py:166-255)")
     return p.parse_args(argv)
 
 
@@ -153,6 +157,15 @@ def main(argv=None):
 
     params = init_prohmr(jax.random.PRNGKey(args.seed), cfg)
     disc_params = init_discriminator(jax.random.PRNGKey(args.seed + 10))
+    if args.load_imagenet_ckpt:
+        # ImageNet warm start (reference resnet(cfg, pretrained=True),
+        # models/resnet.py:152-255; zoo fc/avgpool keys dropped)
+        from ..interop.torch_convert import convert_resnet, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(args.load_imagenet_ckpt)
+        params["backbone"] = convert_resnet(sd, prefix="")
+        logger.info("warm-started backbone from ImageNet ckpt %s",
+                    args.load_imagenet_ckpt)
 
     # ActNorm data-dependent init on the first batch
     # (replaces reference prohmr_scene.py:82-97's lazy buffer)
