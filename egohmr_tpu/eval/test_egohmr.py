@@ -46,6 +46,7 @@ def parse_args(argv=None):
     p.add_argument("--cond_grad_weight", type=float, default=2.0)
     p.add_argument("--only_mask_img_cond", type=b, default=True)
     p.add_argument("--pelvis_vis_loosen", type=b, default=True)
+    p.add_argument("--gcn_nonlocal_layer", type=b, default=False)
     p.add_argument("--eval_spacing", type=int, default=1)
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--eval_coll_loss", type=b, default=True)
@@ -85,6 +86,7 @@ def main(argv=None):
     cfg = EgoHMRConfig(
         only_mask_img_cond=args.only_mask_img_cond,
         pelvis_vis_loosen=args.pelvis_vis_loosen,
+        gcn_nonlocal_layer=args.gcn_nonlocal_layer,
         diffuse_fuse=args.diffuse_fuse,
         with_focal_length=args.with_focal_length,
         with_cam_center=args.with_cam_center,

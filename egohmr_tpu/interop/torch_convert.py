@@ -127,10 +127,19 @@ def _graph_conv(sd: Flat, prefix: str) -> dict:
     return {"gconv": _gconv(sd, prefix + ".gconv"), "bn": _bn(sd, prefix + ".bn")}
 
 
+def _conv1x1_as_linear(sd: Flat, prefix: str) -> dict:
+    """torch Conv2d(cin, cout, 1) [cout, cin, 1, 1] -> linear w [cin, cout]."""
+    w = np.asarray(sd[prefix + ".weight"])
+    p = {"w": jnp.asarray(w.reshape(w.shape[0], w.shape[1]).T)}
+    if prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(sd[prefix + ".bias"])
+    return p
+
+
 def convert_modulated_gcn(sd: Flat, prefix: str = "diffusion_model.",
                           num_layers: int = 4) -> dict:
     # torch wraps gconv_input in nn.Sequential -> key "gconv_input.0"
-    return {
+    params = {
         "gconv_input": _graph_conv(sd, prefix + "gconv_input.0"),
         "gconv_layers": [
             {
@@ -141,6 +150,17 @@ def convert_modulated_gcn(sd: Flat, prefix: str = "diffusion_model.",
         ],
         "gconv_output": _gconv(sd, prefix + "gconv_output"),
     }
+    if prefix + "non_local.g.weight" in sd:
+        # gcn_nonlocal_layer=True checkpoints (reference modulated_gcn.py:
+        # 96-97 + nets/non_local_embedded_gaussian.py; W = Sequential(conv,bn))
+        params["non_local"] = {
+            "g": _conv1x1_as_linear(sd, prefix + "non_local.g"),
+            "theta": _conv1x1_as_linear(sd, prefix + "non_local.theta"),
+            "phi": _conv1x1_as_linear(sd, prefix + "non_local.phi"),
+            "w": _conv1x1_as_linear(sd, prefix + "non_local.W.0"),
+            "bn": _bn(sd, prefix + "non_local.W.1"),
+        }
+    return params
 
 
 # ----------------------------------------------------------------- heads

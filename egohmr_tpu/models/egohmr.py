@@ -68,6 +68,9 @@ class EgoHMRConfig:
     input_process_dim: int = 512
     gcn_hid_dim: int = 1024
     gcn_layers: int = 4
+    # embedded-gaussian non-local block before gconv_output (reference
+    # egohmr.py:37 gcn_nonlocal_layer=False, modulated_gcn.py:96-110)
+    gcn_nonlocal_layer: bool = False
     with_focal_length: bool = True
     with_bbox_info: bool = True
     with_cam_center: bool = True
@@ -143,7 +146,8 @@ def init_egohmr(key: Array, cfg: EgoHMRConfig, mean_betas: Optional[Array] = Non
         "embed_timestep": init_timestep_embedder(ks[3], cfg.timestep_embed_dim),
         "input_process": init_input_process(ks[4], 6, cfg.input_process_dim),
         "diffusion_model": init_modulated_gcn(
-            ks[5], cfg.gcn_in_dim, cfg.gcn_hid_dim, 6, cfg.gcn_layers
+            ks[5], cfg.gcn_in_dim, cfg.gcn_hid_dim, 6, cfg.gcn_layers,
+            nonlocal_layer=cfg.gcn_nonlocal_layer
         ),
         "beta_layer": init_fc_head_beta(ks[6], cfg.context_feats_dim, mean_betas),
     }

@@ -6,9 +6,12 @@ is two [B*24, in]x[in, out] matmuls (MXU) plus 24x24 adjacency mixes (VPU);
 BatchNorm1d statistics reduce over (batch, joints) exactly like the torch
 `transpose->BatchNorm1d->transpose` dance.
 
-The reference's dead nonlocal/node-grouping branches
-(modulated_gcn.py:69-87,96-97 with default nonlocal_layer=False;
-SURVEY.md §2.2 "dead code") are intentionally not ported.
+The optional embedded-gaussian non-local block (`gcn_nonlocal_layer`,
+reference modulated_gcn.py:96-110 + nets/non_local_embedded_gaussian.py,
+default off) is ported: its 1x1 Conv2d maps over a [bs, C, 1, 24] layout are
+per-node linears here, and its 24x24 softmax attention is two tiny batched
+matmuls. The truly dead node-grouping branch (modulated_gcn.py:69-87,
+commented out upstream) is not.
 """
 from __future__ import annotations
 
@@ -18,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .core import batchnorm, bn_init, relu
+from .core import batchnorm, bn_init, linear, linear_init, relu
 
 Array = jax.Array
 
@@ -76,6 +79,51 @@ def _graph_conv(
     return relu(out), {"gconv": p["gconv"], "bn": new_bn}
 
 
+def nonlocal_block_init(key: Array, channels: int) -> dict:
+    """Embedded-gaussian non-local block over the 24-node axis
+    (reference nets/non_local_embedded_gaussian.py:7-90 with the
+    modulated_gcn.py:96-97 configuration: sub_sample=False, bn_layer=True).
+
+    The torch module's 1x1 Conv2d layers on [bs, C, 1, 24] are plain
+    per-node linears; conv-default init == torch.nn.Linear default. The
+    output BN is zero-initialized (scale=bias=0) so the block starts as
+    the identity, exactly like the reference's constant_(W[1].weight, 0).
+    """
+    inter = max(channels // 2, 1)
+    kg, kt, kp, kw = jax.random.split(key, 4)
+    bn = bn_init(channels)
+    bn["scale"] = jnp.zeros_like(bn["scale"])
+    return {
+        "g": linear_init(kg, channels, inter),
+        "theta": linear_init(kt, channels, inter),
+        "phi": linear_init(kp, channels, inter),
+        "w": linear_init(kw, inter, channels),
+        "bn": bn,
+    }
+
+
+def nonlocal_block(
+    p: dict, x: Array, *, train: bool, axis_name: Optional[str]
+) -> Tuple[Array, dict]:
+    """x: [B, J, C] -> [B, J, C] (reference forward :122-144): softmax
+    attention f = softmax(theta x (phi x)^T) over nodes, z = BN(W(f gx)) + x.
+    """
+    g_x = linear(p["g"], x)                       # [B, J, inter]
+    theta_x = linear(p["theta"], x)
+    phi_x = linear(p["phi"], x)
+    f = jnp.einsum("bjc,bkc->bjk", theta_x, phi_x)
+    f = jax.nn.softmax(f, axis=-1)
+    y = jnp.einsum("bjk,bkc->bjc", f, g_x)        # [B, J, inter]
+    w_y = linear(p["w"], y)                       # [B, J, C]
+    # BatchNorm2d on [bs, C, 1, 24] == stats over (batch, nodes) per channel
+    w_y, new_bn = batchnorm(
+        p["bn"], w_y, train=train, reduce_axes=(0, 1), axis_name=axis_name
+    )
+    new_p = dict(p)
+    new_p["bn"] = new_bn
+    return x + w_y, new_p
+
+
 def init_modulated_gcn(
     key: Array,
     in_dim: int,
@@ -83,8 +131,9 @@ def init_modulated_gcn(
     out_dim: int = 6,
     num_layers: int = 4,
     n_nodes: int = 24,
+    nonlocal_layer: bool = False,
 ) -> dict:
-    keys = jax.random.split(key, 2 * num_layers + 2)
+    keys = jax.random.split(key, 2 * num_layers + 3)
     params = {
         "gconv_input": _graph_conv_init(keys[0], in_dim, hid_dim),
         "gconv_layers": [
@@ -96,6 +145,8 @@ def init_modulated_gcn(
         ],
         "gconv_output": modulated_gconv_init(keys[-1], hid_dim, out_dim, n_nodes),
     }
+    if nonlocal_layer:
+        params["non_local"] = nonlocal_block_init(keys[-2], hid_dim)
     return params
 
 
@@ -120,5 +171,9 @@ def modulated_gcn_forward(
         out = residual + out
         new_layers.append({"gconv1": n1, "gconv2": n2})
     new_params["gconv_layers"] = new_layers
+    if "non_local" in params:  # gcn_nonlocal_layer option (ref :105-110)
+        out, new_params["non_local"] = nonlocal_block(
+            params["non_local"], out, train=train, axis_name=axis_name
+        )
     out = modulated_gconv(params["gconv_output"], adj, out)
     return out, new_params

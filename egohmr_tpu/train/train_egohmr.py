@@ -60,6 +60,7 @@ def parse_args(argv=None):
     p.add_argument("--cond_mask_prob", type=float, default=0.01)
     p.add_argument("--only_mask_img_cond", type=b, default=True)
     p.add_argument("--pelvis_vis_loosen", type=b, default=False)
+    p.add_argument("--gcn_nonlocal_layer", type=b, default=False)
     p.add_argument("--with_focal_length", type=b, default=True)
     p.add_argument("--with_cam_center", type=b, default=True)
     p.add_argument("--with_bbox_info", type=b, default=True)
@@ -106,6 +107,7 @@ def main(argv=None):
         cond_mask_prob=args.cond_mask_prob,
         only_mask_img_cond=args.only_mask_img_cond,
         pelvis_vis_loosen=args.pelvis_vis_loosen,
+        gcn_nonlocal_layer=args.gcn_nonlocal_layer,
         with_focal_length=args.with_focal_length,
         with_cam_center=args.with_cam_center,
         with_bbox_info=args.with_bbox_info,

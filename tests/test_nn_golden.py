@@ -228,6 +228,81 @@ class TestModulatedGCN:
         np.testing.assert_allclose(got_var, want_var, rtol=1e-3, atol=1e-5)
 
 
+    def test_nonlocal_layer_forward_matches(self, rng):
+        """gcn_nonlocal_layer=True option (reference modulated_gcn.py:96-110 +
+        nets/non_local_embedded_gaussian.py): a checkpoint trained with the
+        non-local block must convert and match. BN params are randomized
+        because the reference zero-inits the output BN (identity at init)."""
+        import torch
+        from models.egohmr.modulated_gcn.modulated_gcn import ModulatedGCN
+
+        from egohmr_tpu.interop.torch_convert import convert_modulated_gcn
+        from egohmr_tpu.nn import modulated_gcn_forward
+        from egohmr_tpu.smpl.constants import joint_adjacency
+
+        torch.manual_seed(3)
+        adj = torch.from_numpy(joint_adjacency())
+        m = ModulatedGCN(adj=adj, in_dim=38, hid_dim=32, out_dim=6,
+                         num_layers=2, p_dropout=0.0, nonlocal_layer=True)
+        m.eval()
+        with torch.no_grad():
+            for mod in m.modules():
+                if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                    mod.running_mean.normal_(0, 0.05)
+                    mod.running_var.uniform_(0.8, 1.2)
+                    mod.weight.uniform_(0.5, 1.5)
+                    mod.bias.normal_(0, 0.05)
+        x = rng.randn(3, 24, 38).astype(np.float32)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+        params = convert_modulated_gcn(_sd(m), prefix="", num_layers=2)
+        assert "non_local" in params
+        got, _ = modulated_gcn_forward(params, jnp.asarray(adj), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    def test_nonlocal_train_bn_stats_match(self, rng):
+        import torch
+        from models.egohmr.modulated_gcn.modulated_gcn import ModulatedGCN
+
+        from egohmr_tpu.interop.torch_convert import convert_modulated_gcn
+        from egohmr_tpu.nn import modulated_gcn_forward
+        from egohmr_tpu.smpl.constants import joint_adjacency
+
+        torch.manual_seed(4)
+        adj = torch.from_numpy(joint_adjacency())
+        m = ModulatedGCN(adj=adj, in_dim=38, hid_dim=32, out_dim=6,
+                         num_layers=2, p_dropout=0.0, nonlocal_layer=True)
+        m.train()
+        x = rng.randn(8, 24, 38).astype(np.float32)
+        params = convert_modulated_gcn(_sd(m), prefix="", num_layers=2)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+        got, new_params = modulated_gcn_forward(
+            params, jnp.asarray(adj), jnp.asarray(x), train=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+        want_mean = m.non_local.W[1].running_mean.numpy()
+        got_mean = np.asarray(new_params["non_local"]["bn"]["mean"])
+        np.testing.assert_allclose(got_mean, want_mean, rtol=1e-4, atol=1e-5)
+
+    def test_nonlocal_init_is_identity(self):
+        """Fresh init must behave like the reference's zero-initialized
+        block: output identical to the nonlocal-free model."""
+        import jax
+
+        from egohmr_tpu.nn.gcn import init_modulated_gcn, modulated_gcn_forward
+        from egohmr_tpu.smpl.constants import joint_adjacency
+
+        adj = jnp.asarray(joint_adjacency())
+        key = jax.random.PRNGKey(0)
+        p0 = init_modulated_gcn(key, 38, 32, 6, 2)
+        p1 = init_modulated_gcn(key, 38, 32, 6, 2, nonlocal_layer=True)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 24, 38)
+                        .astype(np.float32))
+        y0, _ = modulated_gcn_forward(p0, adj, x)
+        y1, _ = modulated_gcn_forward(p1, adj, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
 class TestEmbedders:
     def test_timestep_embedder_matches(self, rng):
         import torch
