@@ -126,7 +126,7 @@ def main(argv=None):
         def batches():
             for i in range(args.num_batches or 4):
                 yield synthetic_batch(args.batch_size, seed=100 + i), \
-                    args.batch_size
+                    args.batch_size, None
 
     else:
         from ..data.egobody import EgoBodyDataset, to_device_batch
@@ -156,7 +156,9 @@ def main(argv=None):
                 n = b["img"].shape[0]
                 if n < args.batch_size:
                     b = _pad_batch(b, args.batch_size)
-                yield to_device_batch(b), n
+                # imgname is host-only (dropped by to_device_batch); keep it
+                # alongside for source-frame overlay rendering
+                yield to_device_batch(b), n, b.get("imgname")
 
     # data-parallel eval: the whole pipeline is per-sample, so sharding the
     # batch over a 1-D mesh lets XLA partition every op with no code changes
@@ -199,7 +201,10 @@ def main(argv=None):
                   "v2v_vis": "vvis", "v2v_invis": "vinvis",
                   "std_vis": "vis_any", "apd_vis": "vis_any",
                   "std_invis": "invis_any", "apd_invis": "invis_any"}
-    for i, (batch, n_valid) in enumerate(batches()):
+    # per-image [N, S] invis errors for the smallest-error-sample mode
+    # (reference test_egohmr.py:656-659) and reference-schema results.pkl
+    minerr_err, minerr_cnt = [], []
+    for i, (batch, n_valid, imgnames) in enumerate(batches()):
         key, sub = jax.random.split(key)
         if mesh is not None:
             from ..parallel import shard_batch
@@ -210,6 +215,8 @@ def main(argv=None):
         res = jax.tree_util.tree_map(
             lambda a: np.asarray(a)[:n_valid], res)  # drop padded rows
         n_images += n_valid
+        minerr_err.append(np.asarray(res.mpjpe_invis))
+        minerr_cnt.append(np.asarray(res.invis_count))
         counts = {"vis": np.asarray(res.vis_count),
                   "invis": np.asarray(res.invis_count),
                   "vvis": np.asarray(res.vertex_vis_count),
@@ -236,12 +243,31 @@ def main(argv=None):
             acc.setdefault(name, []).append((v * w).reshape(-1))
             weights_acc.setdefault(name, []).append(w.reshape(-1))
         if args.save_results:
-            saved.append({
+            # reference results.pkl schema (test_egohmr.py:674-693):
+            # rotmat poses [B,S,·,3,3], betas, per-sample collision/contact,
+            # stage-1 pred cam + GT cam translations
+            rotmat = np.asarray(outputs["pred_pose_rotmat"])[:n_valid]
+            row = {
+                "pred_betas_list": np.asarray(outputs["pred_betas"])[:n_valid],
+                "pred_global_orient_list": rotmat[:, :, :1],
+                "pred_body_pose_list": rotmat[:, :, 1:],
+                "gt_cam_full_list": np.asarray(
+                    batch["smpl_params"]["transl"])[:n_valid],
+                # extra (not in the reference dump): the raw rot6d vector,
+                # the most direct parity handle against our own runs
                 "pred_pose_6d": np.asarray(outputs["pred_pose_6d"])[:n_valid],
-                "pred_betas": np.asarray(outputs["pred_betas"])[:n_valid],
-            })
+            }
+            if res.coll_ratio is not None:
+                row["collision_ratio_list"] = np.asarray(res.coll_ratio)
+            if res.contact is not None:
+                row["contact_ratio_list"] = np.asarray(res.contact)
+            if args.two_stage and "stage1_transl_full" in batch:
+                row["pred_cam_full_list"] = np.asarray(
+                    batch["stage1_transl_full"])[:n_valid]
+            saved.append(row)
         if args.render and i == 0:
-            _render_batch(args, cfg, smpl_n, batch, outputs)
+            _render_batch(args, cfg, smpl_n, batch, outputs,
+                          imgnames=imgnames)
         if i % max(args.log_freq, 1) == 0:
             g = (np.concatenate(acc["g_mpjpe"]).sum()
                  / max(np.concatenate(weights_acc["g_mpjpe"]).sum(), 1))
@@ -254,22 +280,45 @@ def main(argv=None):
         scale = 1000.0 if ("mpjpe" in name or "v2v" in name
                            or "std" in name or "apd" in name) else 1.0
         summary[name] = float(num / max(den, 1e-9) * scale)
+
+    # smallest-error-sample-invis mode (reference test_egohmr.py:656-659):
+    # per image, pick the sample with the lowest invisible-joint error, then
+    # report the global invis-count-weighted error of the selected samples
+    if minerr_err:
+        err = np.concatenate(minerr_err)  # [N, S] per-image masked means
+        cnt = np.concatenate(minerr_cnt)  # [N]
+        sel = np.argmin(err, axis=1)
+        chosen = err[np.arange(len(err)), sel]
+        summary["mpjpe_invis_min_sample"] = float(
+            (chosen * cnt).sum() / max(cnt.sum(), 1e-9) * 1000.0)
+        print("--------- mode: smallest-error-sample-invis from "
+              f"{err.shape[1]} samples ---------")
+        print(f"MPJPE-invis: {summary['mpjpe_invis_min_sample']:.2f}")
     print(json.dumps(summary, indent=2))
 
     if args.save_results:
-        os.makedirs(args.save_root, exist_ok=True)
-        with open(os.path.join(args.save_root, "results.pkl"), "wb") as f:
-            pickle.dump(saved, f)
-        print(f"saved results to {args.save_root}/results.pkl")
+        # reference layout: {save_root}/output_egohmr_{model_id}/
+        # results_seed_{seed}.pkl (test_egohmr.py:684-696)
+        model_id = (os.path.basename(os.path.dirname(args.checkpoint))
+                    if args.checkpoint else "synthetic")
+        out_dir = os.path.join(args.save_root, f"output_egohmr_{model_id}")
+        os.makedirs(out_dir, exist_ok=True)
+        out = {k: np.concatenate([r[k] for r in saved])
+               for k in saved[0]} if saved else {}
+        out_path = os.path.join(out_dir, f"results_seed_{args.seed}.pkl")
+        with open(out_path, "wb") as f:
+            pickle.dump(out, f, protocol=2)
+        print(f"[INFO] pred results saved to {out_dir}.")
     return summary
 
 
-def _render_batch(args, cfg, smpl, batch, outputs):
-    """Overlay the first sample's body on (a gray canvas or) the source image
-    (reference test_egohmr.py:556-626; full frames are not in the batch, so
-    the overlay uses a blank canvas at full-image resolution when the source
-    jpg is unavailable)."""
+def _render_batch(args, cfg, smpl, batch, outputs, imgnames=None):
+    """Overlay the first sample's body on the SOURCE frame when the jpg
+    resolves (reference test_egohmr.py:556-626: cv2.imread + green bbox +
+    pyrender overlay), falling back to a gray canvas at full resolution
+    otherwise (synthetic runs / images missing from the fixture)."""
     import numpy as np
+    from PIL import Image
 
     from ..viz.renderer import render_on_img
 
@@ -284,20 +333,47 @@ def _render_batch(args, cfg, smpl, batch, outputs):
     fx = np.asarray(batch["fx"]) * cfg.fx_norm_coeff
     cx = np.asarray(batch["cam_cx"])
     cy = np.asarray(batch["cam_cy"])
+    box_center = np.asarray(batch.get("box_center")) \
+        if "box_center" in batch else None
+    box_size = np.asarray(batch.get("box_size")) \
+        if "box_size" in batch else None
     faces = np.asarray(smpl.faces)
-    from PIL import Image
+    H, W = int(cfg.full_img_h), int(cfg.full_img_w)
 
     for b in range(min(len(verts), 4)):
-        canvas = np.full((int(cfg.full_img_h), int(cfg.full_img_w), 3), 32,
-                         np.uint8)
+        name = f"render_{b}.png"
+        canvas = None
+        if imgnames is not None and b < len(imgnames):
+            path = imgnames[b]
+            if isinstance(path, str) and os.path.exists(path):
+                img = Image.open(path).convert("RGB")
+                if img.size != (W, H):
+                    img = img.resize((W, H))
+                canvas = np.asarray(img, dtype=np.uint8).copy()
+                parts = os.path.normpath(path).split(os.sep)
+                rec = parts[-4] if len(parts) >= 4 else "img"
+                name = f"{rec}_{os.path.basename(path)}.png"
+        if canvas is None:
+            canvas = np.full((H, W, 3), 32, np.uint8)
+        if box_center is not None and box_size is not None:
+            # green bbox like the reference cv2.rectangle (:566-571)
+            x0 = int(np.clip(box_center[b][0] - box_size[b] / 2, 0, W - 1))
+            x1 = int(np.clip(box_center[b][0] + box_size[b] / 2, 0, W - 1))
+            y0 = int(np.clip(box_center[b][1] - box_size[b] / 2, 0, H - 1))
+            y1 = int(np.clip(box_center[b][1] + box_size[b] / 2, 0, H - 1))
+            t = 3
+            canvas[y0:y0 + t, x0:x1], canvas[y1 - t:y1, x0:x1] = (0, 255, 0), (0, 255, 0)
+            canvas[y0:y1, x0:x0 + t], canvas[y0:y1, x1 - t:x1] = (0, 255, 0), (0, 255, 0)
         out = render_on_img(canvas, verts[b] + transl[b], faces,
                             (fx[b], fx[b]), (cx[b], cy[b]))
-        Image.fromarray(out).save(
-            os.path.join(args.output_render_root, f"render_{b}.png"))
+        Image.fromarray(out).save(os.path.join(args.output_render_root, name))
     print(f"renders saved to {args.output_render_root}/")
 
 
 def _load_params(checkpoint: str, cfg):
+    import jax
+    import jax.numpy as jnp
+
     if checkpoint.endswith(".pt"):
         from ..interop.torch_convert import convert_egohmr, load_torch_checkpoint
 
@@ -306,7 +382,10 @@ def _load_params(checkpoint: str, cfg):
     from ..utils.checkpoint import restore_checkpoint
 
     state = restore_checkpoint(checkpoint)
-    return state["params"] if "params" in state else state
+    params = state["params"] if "params" in state else state
+    # restored leaves are numpy; device arrays avoid tracer-indexing errors
+    # (e.g. pe[t] inside the sampler scan) and host->device churn per batch
+    return jax.tree_util.tree_map(jnp.asarray, params)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,9 @@ def main(argv=None):
 
         state = restore_checkpoint(args.checkpoint)
         params = state["params"] if "params" in state else state
+        # numpy leaves -> device arrays (tracer-safe indexing, no per-batch
+        # host->device transfers of the weights)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
 
         from ..data.egobody import EgoBodyDataset, to_device_batch
 
