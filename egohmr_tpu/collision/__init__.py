@@ -5,8 +5,11 @@ from .sdf import (
     collision_loss,
     collision_ratio,
     min_body_scene_distance,
+    nearest_k_vertices,
     nearest_vertex,
     signed_distance,
+    signed_distance_winding,
+    winding_number,
 )
 
 __all__ = [
@@ -16,6 +19,9 @@ __all__ = [
     "collision_loss",
     "collision_ratio",
     "min_body_scene_distance",
+    "nearest_k_vertices",
     "nearest_vertex",
     "signed_distance",
+    "signed_distance_winding",
+    "winding_number",
 ]

@@ -63,11 +63,17 @@ def sample_bodies(
     with_guidance: bool = False,
     guidance: GuidanceConfig = GuidanceConfig(),
     use_stage1_transl: bool = True,
+    collision_backend: str = "sdf",
+    occ_params: Optional[dict] = None,
+    occ_cfg=None,
 ) -> Tuple[Dict[str, Array], Condition]:
     """Draw `num_samples` bodies per image; outputs have shape [B, S, ...].
 
     `use_stage1_transl` injects the stage-1 predicted translation
     (reference test_egohmr.py:243-245) when present in the batch.
+    `collision_backend` selects the guidance gradient source: the exact
+    mesh SDF ('sdf', default) or the distilled learned occupancy
+    ('occupancy', the COAP-family path — reference egohmr.py:517-605).
     """
     if use_stage1_transl and "stage1_transl_full" in batch:
         batch = dict(batch)
@@ -79,10 +85,18 @@ def sample_bodies(
     cond_s = tile_condition(cond, num_samples)
 
     denoise = make_denoise_fn(params, cfg, cond_s)
-    guidance_fn = (
-        make_guidance_fn(params, cfg, smpl, cond_s, stats)
-        if with_guidance else None
-    )
+    guidance_fn = None
+    if with_guidance:
+        if collision_backend == "occupancy":
+            from ..collision.neural_occupancy import make_occupancy_guidance_fn
+
+            assert occ_params is not None, (
+                "--collision_backend occupancy needs a distilled artifact "
+                "(--occupancy_ckpt)")
+            guidance_fn = make_occupancy_guidance_fn(
+                occ_params, occ_cfg, smpl, cond_s, stats)
+        else:
+            guidance_fn = make_guidance_fn(params, cfg, smpl, cond_s, stats)
     _, x0 = sample_loop(
         schedule, denoise, key, (B * num_samples, 144),
         sampler=sampler, guidance_fn=guidance_fn, guidance=guidance,
@@ -140,10 +154,16 @@ def evaluate_batch(
     eval_collision: bool = True,
     eval_contact: bool = True,
     contact_thresh: float = 0.02,
+    collision_backend: str = "sdf",
+    occ_params: Optional[dict] = None,
+    occ_cfg=None,
 ) -> EvalResult:
     """Metrics per reference test_egohmr.py:374-505.
 
-    outputs: [B, S, ...] from `sample_bodies`.
+    outputs: [B, S, ...] from `sample_bodies`. `collision_backend`
+    'occupancy' computes the collision ratio from the distilled occupancy
+    net (occ>0.5 inside the body bbox / total points), mirroring the
+    reference's COAP eval_coll (egohmr.py:487-514).
     """
     B, S = outputs["pred_keypoints_3d"].shape[:2]
     gtp = batch["smpl_params"]
@@ -224,7 +244,21 @@ def evaluate_batch(
         verts_flat = pred_verts.reshape(B * S, -1, 3)
         # bodies are posed without transl; scene is canonicalized to match
         scene_s = jnp.repeat(scene, S, axis=0)
-        if eval_collision:
+        if eval_collision and collision_backend == "occupancy":
+            from ..collision.neural_occupancy import occupancy_query
+            from ..smpl import lbs as _lbs
+
+            rotmat = outputs["pred_pose_rotmat"].reshape(B * S, 24, 3, 3)
+            betas_s = outputs["pred_betas"].reshape(B * S, 10)
+            out_bs = _lbs(smpl_neutral, betas_s, rotmat[:, :1],
+                          rotmat[:, 1:], pose2rot=False)
+            occ = occupancy_query(occ_params, occ_cfg, smpl_neutral,
+                                  out_bs, betas_s, scene_s)
+            mask = bbox_mask(scene_s, verts_flat).astype(occ.dtype)
+            inside = (occ > 0.5).astype(occ.dtype) * mask
+            coll = (jnp.sum(inside, axis=-1)
+                    / scene_s.shape[-2]).reshape(B, S)
+        elif eval_collision:
             normals = vertex_normals(verts_flat, smpl_neutral.faces)
             mask = bbox_mask(scene_s, verts_flat)
             sdf = signed_distance(scene_s, verts_flat, normals)

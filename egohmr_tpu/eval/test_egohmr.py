@@ -44,6 +44,13 @@ def parse_args(argv=None):
     p.add_argument("--with_coap_grad", type=b, default=True,
                    help="collision-guided sampling (DDPM only)")
     p.add_argument("--cond_grad_weight", type=float, default=2.0)
+    p.add_argument("--collision_backend", type=str, default="sdf",
+                   choices=["sdf", "occupancy"],
+                   help="'sdf': exact mesh SDF; 'occupancy': distilled "
+                        "COAP-family net (needs --occupancy_ckpt, see "
+                        "egohmr_tpu.train.distill_occupancy)")
+    p.add_argument("--occupancy_ckpt", type=str, default="",
+                   help="distilled occupancy .npz artifact")
     p.add_argument("--only_mask_img_cond", type=b, default=True)
     p.add_argument("--pelvis_vis_loosen", type=b, default=True)
     p.add_argument("--gcn_nonlocal_layer", type=b, default=False)
@@ -170,18 +177,31 @@ def main(argv=None):
         mesh = make_mesh()
         params = replicate(mesh, params)
 
+    occ_params, occ_cfg = None, None
+    if args.collision_backend == "occupancy":
+        from ..collision.neural_occupancy import load_occupancy
+
+        assert args.occupancy_ckpt, (
+            "--collision_backend occupancy needs --occupancy_ckpt "
+            "(train one with: python -m egohmr_tpu.train.distill_occupancy)")
+        occ_params, occ_cfg = load_occupancy(args.occupancy_ckpt)
+
     @jax.jit
     def run_batch(batch, key):
         outputs, cond = sample_bodies(
             params, cfg, smpl_n, stats, schedule, batch, key,
             args.num_samples, sampler=sampler, with_guidance=with_guidance,
             guidance=guidance, use_stage1_transl=args.two_stage,
+            collision_backend=args.collision_backend,
+            occ_params=occ_params, occ_cfg=occ_cfg,
         )
         return evaluate_batch(
             cfg, smpl_n, smpl_m, smpl_f, batch, outputs, cond,
             eval_with_vis_mask_pa=args.eval_with_vis_mask_pa,
             eval_collision=args.eval_coll_loss,
             eval_contact=args.eval_contact_score,
+            collision_backend=args.collision_backend,
+            occ_params=occ_params, occ_cfg=occ_cfg,
         ), outputs
 
     key = jax.random.PRNGKey(args.seed)

@@ -1,0 +1,126 @@
+"""Distill the exact mesh SDF into the learned part-wise occupancy net.
+
+This is how the framework ships 'pretrained' collision weights without any
+external release (the reference attaches pretrained COAP, whose weights are
+distributed out-of-band — models/egohmr/egohmr.py:117). The artifact this CLI
+saves is consumed by the eval CLI via `--collision_backend occupancy
+--occupancy_ckpt <path>` for both the collision metric and guided sampling.
+
+Usage:
+  python -m egohmr_tpu.train.distill_occupancy --synthetic \
+      --steps 3000 --save_path artifacts/occupancy_synthetic.npz
+  python -m egohmr_tpu.train.distill_occupancy \
+      --smpl_model_path data/smpl --save_path artifacts/occupancy_neutral.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Distill mesh SDF -> learned occupancy (collision backend)")
+    b = lambda x: str(x).lower() in ["true", "1"]
+    p.add_argument("--save_path", type=str,
+                   default="artifacts/occupancy.npz")
+    p.add_argument("--smpl_model_path", type=str, default="data/smpl")
+    p.add_argument("--gender", type=str, default="neutral")
+    p.add_argument("--synthetic", action="store_true",
+                   help="distill against the synthetic SMPL body (no SMPL "
+                        ".pkl release needed; used for CI artifacts)")
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch_bodies", type=int, default=8)
+    p.add_argument("--points_per_body", type=int, default=1024)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--latent_dim", type=int, default=64)
+    p.add_argument("--hidden_dim", type=int, default=128)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--label_mode", type=str, default="signed",
+                   choices=["signed", "proximity"])
+    p.add_argument("--sign_k", type=int, default=4,
+                   help="k-NN normal vote for the SDF training labels "
+                        "(robust near thin parts)")
+    p.add_argument("--accuracy_bar", type=float, default=0.95,
+                   help="required held-out inside/outside agreement vs the "
+                        "mesh SDF")
+    p.add_argument("--eval_bodies", type=int, default=16)
+    p.add_argument("--eval_points_per_body", type=int, default=1024)
+    p.add_argument("--log_every", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default="",
+                   help="force a JAX platform (e.g. 'cpu'); needed because "
+                        "the axon sitecustomize overrides JAX_PLATFORMS")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from ..collision.neural_occupancy import (
+        OccupancyConfig,
+        distill_occupancy,
+        occupancy_agreement,
+    )
+    from ..smpl import create as smpl_create, make_synthetic_model
+    from ..utils.checkpoint import save_npz
+
+    if args.synthetic:
+        model = make_synthetic_model(num_vertices=6890)
+    else:
+        model = smpl_create(args.smpl_model_path, args.gender)
+
+    cfg = OccupancyConfig(latent_dim=args.latent_dim,
+                          hidden_dim=args.hidden_dim,
+                          num_layers=args.num_layers)
+    key = jax.random.PRNGKey(args.seed)
+    k_train, k_eval = jax.random.split(key)
+
+    params = distill_occupancy(
+        k_train, model, cfg,
+        steps=args.steps, batch_bodies=args.batch_bodies,
+        points_per_body=args.points_per_body, lr=args.lr,
+        label_mode=args.label_mode, sign_k=args.sign_k,
+        log_every=args.log_every,
+    )
+
+    # held-out accuracy vs the exact mesh SDF (fresh poses, fresh points)
+    acc = occupancy_agreement(
+        params, cfg, model, k_eval,
+        n_bodies=args.eval_bodies,
+        points_per_body=args.eval_points_per_body,
+        label_mode=args.label_mode, sign_k=args.sign_k,
+    )
+    passed = acc >= args.accuracy_bar
+
+    os.makedirs(os.path.dirname(args.save_path) or ".", exist_ok=True)
+    save_npz(args.save_path, params)
+    meta = {
+        "accuracy": acc,
+        "accuracy_bar": args.accuracy_bar,
+        "passed": bool(passed),
+        "body": "synthetic" if args.synthetic else args.gender,
+        "label_mode": args.label_mode,
+        "sign_k": args.sign_k,
+        "steps": args.steps,
+        "occupancy_config": {"latent_dim": cfg.latent_dim,
+                             "hidden_dim": cfg.hidden_dim,
+                             "num_layers": cfg.num_layers},
+    }
+    with open(args.save_path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta))
+    if not passed:
+        print(f"WARNING: agreement {acc:.4f} below bar {args.accuracy_bar}")
+    return meta
+
+
+if __name__ == "__main__":
+    main()

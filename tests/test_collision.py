@@ -92,3 +92,125 @@ def test_chamfer_distance_squared(rng):
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cy)[0], (d.min(0)) ** 2,
                                rtol=1e-3, atol=1e-5)
+
+
+# ---------------------------------------------------------------- sign
+# robustness (round-1 verdict Missing #2: nearest-normal sign is unreliable
+# near thin parts / concave regions)
+
+def _uv_sphere(n_stacks=24, n_slices=48):
+    """Watertight triangulated unit sphere (outward-oriented faces)."""
+    verts = [(0.0, 0.0, 1.0)]
+    for i in range(1, n_stacks):
+        phi = np.pi * i / n_stacks
+        for j in range(n_slices):
+            th = 2 * np.pi * j / n_slices
+            verts.append((np.sin(phi) * np.cos(th),
+                          np.sin(phi) * np.sin(th), np.cos(phi)))
+    verts.append((0.0, 0.0, -1.0))
+    verts = np.asarray(verts, np.float32)
+    faces = []
+    ring = lambda i, j: 1 + (i - 1) * n_slices + (j % n_slices)
+    for j in range(n_slices):  # top cap
+        faces.append((0, ring(1, j), ring(1, j + 1)))
+    for i in range(1, n_stacks - 1):
+        for j in range(n_slices):
+            a, b = ring(i, j), ring(i, j + 1)
+            c, d = ring(i + 1, j), ring(i + 1, j + 1)
+            faces.append((a, c, b))
+            faces.append((b, c, d))
+    bot = len(verts) - 1
+    for j in range(n_slices):  # bottom cap
+        faces.append((bot, ring(n_stacks - 1, j + 1), ring(n_stacks - 1, j)))
+    return verts, np.asarray(faces, np.int32)
+
+
+def test_winding_number_thin_slab():
+    """The generalized winding number classifies points around a THIN
+    pancake (sphere squashed to 4% thickness — a forearm-like slab, where
+    the nearest-normal sign rule is known-unreliable) exactly; the exact
+    test is what `signed_distance_winding` uses."""
+    from egohmr_tpu.collision import signed_distance_winding, winding_number
+
+    verts, faces = _uv_sphere()
+    thin = verts * np.array([1.0, 1.0, 0.02], np.float32)  # pancake
+    rng = np.random.RandomState(0)
+    # points in the slab's neighborhood, excluding a thin shell around the
+    # (smooth-vs-faceted) boundary
+    pts = rng.uniform(-1.2, 1.2, size=(400, 3)).astype(np.float32)
+    pts[:, 2] *= 0.05
+    ellip = (pts[:, 0] ** 2 + pts[:, 1] ** 2 + (pts[:, 2] / 0.02) ** 2)
+    keep = np.abs(ellip - 1.0) > 0.15
+    pts, ellip = pts[keep], ellip[keep]
+    want_inside = ellip < 1.0
+    assert want_inside.any() and (~want_inside).any()
+
+    w = np.asarray(winding_number(jnp.asarray(pts[None]),
+                                  jnp.asarray(thin[None]),
+                                  jnp.asarray(faces), block_size=256))[0]
+    got_inside = np.abs(w) > 0.5
+    np.testing.assert_array_equal(got_inside, want_inside)
+
+    sdf = np.asarray(signed_distance_winding(
+        jnp.asarray(pts[None]), jnp.asarray(thin[None]),
+        jnp.asarray(faces)))[0]
+    np.testing.assert_array_equal(sdf < 0, want_inside)
+
+
+def test_sign_vote_beats_single_normal_on_noisy_normals():
+    """Characterization: with grazing/thin-part-like normal corruption
+    (15% of normals flipped), the k-NN weighted sign vote (sign_k>1)
+    recovers accuracy the single-nearest-normal rule loses."""
+    rng = np.random.RandomState(1)
+    verts = _unit_sphere(4000, rng)[None]
+    normals = verts.copy()
+    flip = rng.rand(1, 4000) < 0.15
+    normals = np.where(flip[..., None], -normals, normals)
+
+    radii = rng.uniform(0.6, 1.4, size=600).astype(np.float32)
+    radii = radii[np.abs(radii - 1.0) > 0.05]
+    dirs = _unit_sphere(len(radii), rng)
+    pts = (radii[:, None] * dirs)[None]
+    want_inside = radii < 1.0
+
+    def acc(k):
+        sdf = np.asarray(signed_distance(
+            jnp.asarray(pts), jnp.asarray(verts), jnp.asarray(normals),
+            block_size=256, sign_k=k))[0]
+        return ((sdf < 0) == want_inside).mean()
+
+    a1, a8 = acc(1), acc(8)
+    # the single-normal rule inherits the 15% corruption near the surface;
+    # the vote averages it away
+    assert a8 > a1, (a1, a8)
+    assert a8 > 0.99, (a1, a8)
+
+
+def test_sign_k_matches_single_on_clean_normals(rng):
+    """On clean geometry the vote must agree with the fast path."""
+    verts = _unit_sphere(3000, rng)[None]
+    normals = verts.copy()
+    radii = np.array([0.5, 0.8, 1.2, 1.6], np.float32)
+    dirs = _unit_sphere(4, rng)
+    pts = (radii[:, None] * dirs)[None]
+    s1 = np.asarray(signed_distance(jnp.asarray(pts), jnp.asarray(verts),
+                                    jnp.asarray(normals), block_size=64))
+    s4 = np.asarray(signed_distance(jnp.asarray(pts), jnp.asarray(verts),
+                                    jnp.asarray(normals), block_size=64,
+                                    sign_k=4))
+    np.testing.assert_allclose(s1, s4, atol=1e-5)
+
+
+def test_nearest_k_vertices_matches_bruteforce(rng):
+    from egohmr_tpu.collision import nearest_k_vertices
+
+    pts = rng.randn(2, 100, 3).astype(np.float32)
+    verts = rng.randn(2, 57, 3).astype(np.float32)
+    d2, idx = nearest_k_vertices(jnp.asarray(pts), jnp.asarray(verts), 5,
+                                 block_size=32)
+    d = np.linalg.norm(pts[:, :, None] - verts[:, None], axis=-1) ** 2
+    want_idx = np.argsort(d, axis=-1)[..., :5]
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_allclose(
+        np.asarray(d2), np.take_along_axis(d, want_idx, -1),
+        rtol=1e-3, atol=1e-5)
