@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="run conditioning + denoiser in bfloat16 (MXU-native);"
                          " sampler math and SMPL stay float32")
+    ap.add_argument("--pointnet", choices=["fused", "xla"], default="fused",
+                    help="scene encoder: whole-network Pallas kernel (fused,"
+                         " default) or plain XLA matmuls")
     ap.add_argument("--num-samples", type=int, default=1,
                     help="diverse samples per image (paper setting: 5); "
                          "conditioning is computed once per image and tiled")
@@ -68,7 +71,8 @@ def main():
         )
         B, P, V, img = 8, 2048, 1024, 224
     else:
-        cfg = EgoHMRConfig()  # full ResNet50 / 2694-d context / 3718-d GCN
+        # full ResNet50 / 2694-d context / 3718-d GCN
+        cfg = EgoHMRConfig(pointnet_impl=args.pointnet)
         B, P, V, img = args.batch_size, 20000, 6890, 224
 
     params = init_egohmr(jax.random.PRNGKey(0), cfg)
@@ -79,8 +83,18 @@ def main():
 
     if args.bf16:
         bf16 = jnp.bfloat16
-        nn_params = jax.tree_util.tree_map(
-            lambda x: x.astype(bf16) if x.dtype == jnp.float32 else x, params)
+        # cast weights/biases but KEEP BatchNorm leaves f32: nn.core.batchnorm
+        # folds f32 stats into a per-channel scale/shift cast to the
+        # activation dtype at eval, so activations stay bf16 end-to-end
+        # (a bf16 `x - mean_f32` would silently promote everything to f32)
+        nn_params = jax.tree_util.tree_map_with_path(
+            lambda path, x: x if (
+                x.dtype != jnp.float32
+                or path[-1].key in ("scale", "mean", "var")
+                or (path[-1].key == "bias" and len(path) > 1
+                    and "bn" in str(path[-2].key))
+            ) else x.astype(bf16),
+            params)
     else:
         nn_params = params
 
@@ -144,6 +158,14 @@ def main():
         return ref_final(batch, x)
 
     def time_fn(fn, tag, jit=True, n_bodies=NB):
+        """Returns (throughput samples/s, blocking p50 latency).
+
+        Throughput is measured PIPELINED: all iterations are submitted
+        back-to-back and synchronized once at the end, the steady-state
+        serving pattern (JAX dispatch is async, so the host-side dispatch /
+        tunnel round-trip overlaps device compute of the previous batch).
+        Latency is the honest blocking p50 of a single batch.
+        """
         jf = jax.jit(fn) if jit else fn
         t0 = time.time()
         jf(batch, jax.random.PRNGKey(0)).block_until_ready()
@@ -153,11 +175,16 @@ def main():
             t0 = time.time()
             jf(batch, jax.random.PRNGKey(i + 1)).block_until_ready()
             times.append(time.time() - t0)
-        dt = sorted(times)[len(times) // 2]  # median = honest p50
-        print(f"# {tag}: compile {compile_s:.1f}s, p50 {dt*1e3:.1f}ms "
-              f"(best {min(times)*1e3:.1f}) -> {n_bodies/dt:.1f} samples/s",
+        lat = sorted(times)[len(times) // 2]  # median = honest p50
+        n_pipe = max(3 * args.iters, 10)
+        t0 = time.time()
+        outs = [jf(batch, jax.random.PRNGKey(100 + i)) for i in range(n_pipe)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / n_pipe
+        print(f"# {tag}: compile {compile_s:.1f}s, blocking p50 {lat*1e3:.1f}ms"
+              f", pipelined {dt*1e3:.1f}ms/batch -> {n_bodies/dt:.1f} samples/s",
               file=sys.stderr)
-        return n_bodies / dt, dt
+        return n_bodies / dt, lat
 
     fused_sps, fused_dt = time_fn(fused, "fused")
     if args.skip_baseline or S > 1:
@@ -185,15 +212,15 @@ def main():
 
         jf = jax.jit(fused_paper)
         jf(batch5, jax.random.PRNGKey(0)).block_until_ready()
-        times5 = []
-        for i in range(args.iters):
-            t0 = time.time()
-            jf(batch5, jax.random.PRNGKey(i + 1)).block_until_ready()
-            times5.append(time.time() - t0)
-        dt5 = sorted(times5)[len(times5) // 2]
+        n_pipe = max(3 * args.iters, 10)
+        t0 = time.time()
+        outs = [jf(batch5, jax.random.PRNGKey(i + 1)) for i in range(n_pipe)]
+        jax.block_until_ready(outs)
+        dt5 = (time.time() - t0) / n_pipe
         paper_sps = B5 * S5 / dt5
-        print(f"# paper setting (32 imgs x 5 samples): p50 {dt5*1e3:.1f}ms "
-              f"-> {paper_sps:.1f} samples/s", file=sys.stderr)
+        print(f"# paper setting (32 imgs x 5 samples): pipelined "
+              f"{dt5*1e3:.1f}ms/batch -> {paper_sps:.1f} samples/s",
+              file=sys.stderr)
 
     result = {
         "metric": "ddim5_samples_per_sec_per_chip",
@@ -205,6 +232,9 @@ def main():
             "num_samples_per_image": S,
             "scene_points": P,
             "p50_latency_ms_per_batch": round(fused_dt * 1e3, 2),
+            "throughput_mode": "pipelined (async dispatch, sync at end); "
+                               "latency is blocking per-batch p50",
+            "pointnet_impl": cfg.pointnet_impl,
             "baseline": "same model, reference architecture (conditioning "
                         "recomputed every denoise step), same chip, jitted",
             "paper_setting_samples_per_sec": (

@@ -71,6 +71,11 @@ def parse_args(argv=None):
                    help="save body-overlay renders for the first batch "
                         "(reference test_egohmr.py:41-44)")
     p.add_argument("--output_render_root", type=str, default="output_render")
+    p.add_argument("--pointnet_impl", type=str, default="xla",
+                   choices=["xla", "fused"],
+                   help="scene encoder: 'fused' = whole-network Pallas TPU "
+                        "kernel (bf16 storage, ~2x faster; auto-falls back "
+                        "to xla on CPU); 'xla' = exact f32 parity path")
     p.add_argument("--data_parallel", type=b, default=True,
                    help="shard eval batches across all local devices "
                         "(batch_size must divide by the device count)")
@@ -98,6 +103,7 @@ def main(argv=None):
         with_focal_length=args.with_focal_length,
         with_cam_center=args.with_cam_center,
         with_bbox_info=args.with_bbox_info,
+        pointnet_impl=args.pointnet_impl,
     )
 
     respacing = ("" if args.timestep_respacing_eval == "ddpm"

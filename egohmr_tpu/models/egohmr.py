@@ -71,6 +71,11 @@ class EgoHMRConfig:
     # embedded-gaussian non-local block before gconv_output (reference
     # egohmr.py:37 gcn_nonlocal_layer=False, modulated_gcn.py:96-110)
     gcn_nonlocal_layer: bool = False
+    # TPU execution knob (no reference analogue): "xla" runs the scene
+    # encoder as plain XLA matmuls; "fused" uses the whole-network Pallas
+    # kernel (nn/pointnet_fused.py) at inference — bf16 storage, one HBM
+    # read of the cloud. Training and CPU backends always use "xla".
+    pointnet_impl: str = "xla"
     with_focal_length: bool = True
     with_bbox_info: bool = True
     with_cam_center: bool = True
@@ -218,7 +223,16 @@ def compute_condition(
     scene_pcd = batch["scene_pcd_verts_full"]
     if scene_cano:
         scene_pcd = scene_pcd - input_transl[:, None, :]
-    scene_feats = pointnet_forward(params["scene_enc"], scene_pcd)
+    use_fused_pointnet = (
+        cfg.pointnet_impl == "fused" and not train
+        and jax.default_backend() not in ("cpu",)  # Pallas needs the TPU
+    )
+    if use_fused_pointnet:
+        from ..nn.pointnet_fused import pointnet_forward_fused
+
+        scene_feats = pointnet_forward_fused(params["scene_enc"], scene_pcd)
+    else:
+        scene_feats = pointnet_forward(params["scene_enc"], scene_pcd)
     transl_feat = transl_enc(params["transl_enc"], input_transl)
 
     shared = jnp.concatenate([scene_feats, transl_feat, cam_feats], axis=-1)
@@ -331,12 +345,48 @@ def denoise_x0(
 
 def make_denoise_fn(params: dict, cfg: EgoHMRConfig, cond: Condition, *,
                     fuse: Optional[bool] = None):
-    """Closure for the diffusion sampler: (x_t, t_orig) -> pred x0."""
+    """Closure for the diffusion sampler: (x_t, t_orig) -> pred x0.
+
+    The GCN input layer sees x = [cond | input_process(x_t) | t_emb], so
+    x@W splits as cond@W_c + xt@W_x + temb@W_t (feature concat). The cond
+    term is identical on every denoising step; we project it through BOTH
+    input-layer weight matrices here, once per sampling run, and the scanned
+    step only pays the small x_t/t projections. Exact same math as
+    `denoise_x0` up to f32 summation order (reference recomputes the whole
+    input matmul per step: egohmr.py:230-257 + modulated_gcn_conv.py:38-44).
+    """
     fuse = cfg.diffuse_fuse if fuse is None else fuse
+    gcn = params["diffusion_model"]
+    W = gcn["gconv_input"]["gconv"]["W"]  # [2, gcn_in_dim, hid]
+    Dc = cfg.context_feats_dim
+    Dx = cfg.input_process_dim
+    Wc, Wx, Wt = W[:, :Dc], W[:, Dc:Dc + Dx], W[:, Dc + Dx:]
+
+    ch = jnp.einsum("bjd,wdh->wbjh", cond.cond, Wc)          # [2,B,24,hid]
+    if fuse:
+        cuh = jnp.einsum("bjd,wdh->wbjh", cond.cond_uncond, Wc)
 
     def fn(x_t: Array, t_orig: Array) -> Array:
-        out, _ = denoise_x0(params, cfg, cond, x_t, t_orig, fuse=fuse, train=False)
-        return out
+        B = x_t.shape[0]
+        t_emb = timestep_embed(params["embed_timestep"], t_orig)   # [B, Dt]
+        x_feat = input_process(params["input_process"], x_t.reshape(B, 24, 6))
+        base = (jnp.einsum("bjd,wdh->wbjh", x_feat, Wx)
+                + jnp.einsum("bd,wdh->wbh", t_emb, Wt)[:, :, None])
+        if fuse:
+            h_c = ch + base
+            h_u = cuh + base
+            h0 = jnp.concatenate([h_c[0], h_u[0]], axis=0)     # [2B,24,hid]
+            h1 = jnp.concatenate([h_c[1], h_u[1]], axis=0)
+            out, _ = modulated_gcn_forward(
+                gcn, _ADJ, None, train=False, input_h=(h0, h1))
+            out_cond, out_uncond = out[:B], out[B:]
+            vis = cond.vis_mask_smpl[..., None]
+            out = jnp.where(vis, out_cond, out_uncond)
+        else:
+            h = ch + base
+            out, _ = modulated_gcn_forward(
+                gcn, _ADJ, None, train=False, input_h=(h[0], h[1]))
+        return out.reshape(B, 24 * 6)
 
     return fn
 

@@ -16,6 +16,7 @@ from .pointnet import (
     pointnet_forward,
     pointnet_forward_point_sharded,
 )
+from .pointnet_fused import pointnet_forward_fused
 from .gcn import (
     init_modulated_gcn,
     modulated_gcn_forward,

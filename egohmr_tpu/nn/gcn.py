@@ -50,11 +50,19 @@ def modulated_gconv_init(
 
 def modulated_gconv(p: dict, adj: Array, x: Array) -> Array:
     """x: [B, J, in] -> [B, J, out] (reference modulated_gcn_conv.py:38-50)."""
-    h0 = x @ p["W"][0]
-    h1 = x @ p["W"][1]
+    return modulated_gconv_mix(p, adj, x @ p["W"][0], x @ p["W"][1])
+
+
+def modulated_gconv_mix(p: dict, adj: Array, h0: Array, h1: Array) -> Array:
+    """Modulation + adjacency mix given precomputed h0 = x@W[0], h1 = x@W[1].
+
+    Split out so samplers can HOIST the conditioning half of the input
+    layer's matmul out of the denoising loop: x = [cond | x_t-feats | t-emb]
+    is a feature concat, so x@W = cond@W_c + xt@W_x + temb@W_t and the cond
+    term is loop-invariant (models/egohmr.py make_denoise_fn)."""
     a = adj + p["adj2"]
     a = (a.T + a) / 2
-    eye = jnp.eye(a.shape[0], dtype=x.dtype)
+    eye = jnp.eye(a.shape[0], dtype=h0.dtype)
     m = p["M"]
     out = jnp.einsum("jk,bkd->bjd", a * eye, m * h0) + jnp.einsum(
         "jk,bkd->bjd", a * (1 - eye), m * h1
@@ -153,16 +161,31 @@ def init_modulated_gcn(
 def modulated_gcn_forward(
     params: dict,
     adj: Array,
-    x: Array,
+    x: Optional[Array],
     *,
     train: bool = False,
     axis_name: Optional[str] = None,
+    input_h: Optional[Tuple[Array, Array]] = None,
 ) -> Tuple[Array, dict]:
-    """x: [B, 24, in_dim] -> ([B, 24, out_dim], new_params)."""
+    """x: [B, 24, in_dim] -> ([B, 24, out_dim], new_params).
+
+    `input_h`: optional precomputed (h0, h1) = (x@W[0], x@W[1]) of the input
+    layer — used by the sampler to hoist the loop-invariant conditioning
+    projection out of the denoising scan; `x` is ignored when given.
+    """
     new_params = dict(params)
-    out, new_params["gconv_input"] = _graph_conv(
-        params["gconv_input"], adj, x, train=train, axis_name=axis_name
-    )
+    if input_h is not None:
+        gi = params["gconv_input"]
+        out = modulated_gconv_mix(gi["gconv"], adj, *input_h)
+        out, new_bn = batchnorm(
+            gi["bn"], out, train=train, reduce_axes=(0, 1), axis_name=axis_name
+        )
+        out = relu(out)
+        new_params["gconv_input"] = {"gconv": gi["gconv"], "bn": new_bn}
+    else:
+        out, new_params["gconv_input"] = _graph_conv(
+            params["gconv_input"], adj, x, train=train, axis_name=axis_name
+        )
     new_layers = []
     for blk in params["gconv_layers"]:
         residual = out

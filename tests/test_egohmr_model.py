@@ -159,3 +159,21 @@ def test_val_loss_has_vis_metric(setup):
     )
     assert "loss_keypoints_3d_vis_batch_sum" in losses
     assert "joint_vis_num_batch" in losses
+
+
+def test_hoisted_denoise_matches_denoise_x0(setup):
+    """make_denoise_fn hoists the conditioning projection out of the loop;
+    it must equal the unhoisted denoise_x0 to f32 reassociation tolerance,
+    in both fuse modes."""
+    from egohmr_tpu.models.egohmr import denoise_x0
+
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    B = batch["img"].shape[0]
+    x_t = jax.random.normal(jax.random.PRNGKey(3), (B, 144))
+    t = jnp.array([7, 31], jnp.int32)
+    for fuse in (True, False):
+        ref, _ = denoise_x0(params, cfg, cond, x_t, t, fuse=fuse, train=False)
+        got = make_denoise_fn(params, cfg, cond, fuse=fuse)(x_t, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
