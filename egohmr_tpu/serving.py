@@ -1,0 +1,180 @@
+"""Production serving wrapper for stage-2 body sampling.
+
+The reference ships batch eval scripts only (test_egohmr.py); large-scale use
+is "run parallel jobs" (reference README.md:154-156). This module is the
+TPU-native serving surface instead:
+
+  * ONE compiled program at a fixed (batch, samples) shape — short requests
+    are padded (static shapes, no recompiles), results trimmed on the host;
+  * requests are PIPELINED: `map_batches` keeps a bounded window of batches
+    in flight so the ~25 ms per-dispatch tunnel/host cost overlaps device
+    compute (the measured steady-state pattern behind bench.py's numbers);
+  * optional collision-score guidance (DDPM) exactly as in the eval CLI.
+
+All selected outputs are packed into ONE [B, S, sum(D)] device buffer so a
+request costs exactly one device->host transfer (fixed per-transfer costs
+dominate readback on remote transports), and `map_batches` reads finished
+batches back on a side thread while later batches dispatch and compute.
+
+Typical use:
+    pred = Predictor(params, cfg, smpl, stats, schedule,
+                     batch_size=64, num_samples=5)
+    out = pred(batch)                      # one request, blocking
+    for out in pred.map_batches(stream):   # steady-state serving
+        ...
+
+Note on this dev image: the axon tunnel's device->host path is orders of
+magnitude slower than a real TPU VM's, so end-to-end serving throughput here
+is transfer-bound no matter what; bench.py (device-resident outputs) is the
+compute-throughput artifact. On real hardware the compact default output set
+(~100 KB/batch) reads back in well under a millisecond.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.batching import pad_batch
+from .diffusion import DiffusionSchedule, GuidanceConfig
+from .eval.pipeline import sample_bodies
+from .models import BodyRepStats, EgoHMRConfig
+from .smpl import SMPLModel
+
+# device outputs surfaced to clients, in [B, S, ...] layout. The default is
+# the COMPACT set (~100 KB/batch): pose/betas/camera fully determine the
+# body, and mesh-sized tensors (pred_vertices[_full], [B,S,6890,3]) cost
+# ~5 MB each per batch on the device->host link — pass them via
+# `output_keys` only when the host actually consumes meshes. (Unselected
+# outputs are DCE'd out of the compiled program by jit.)
+_OUTPUT_KEYS = (
+    "pred_pose_6d", "pred_betas", "pred_keypoints_3d",
+    "pred_keypoints_3d_full", "pred_cam_full",
+)
+MESH_OUTPUT_KEYS = _OUTPUT_KEYS + ("pred_vertices", "pred_vertices_full")
+
+
+class Predictor:
+    """Fixed-shape, pipelined stage-2 sampler for serving.
+
+    Every call runs the full pipeline: conditioning once per image
+    (ResNet-50 + fused-Pallas scene PointNet + heads), `num_samples` diverse
+    bodies per image via the DDIM/DDPM scan, SMPL LBS + reprojection.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: EgoHMRConfig,
+        smpl: SMPLModel,
+        stats: BodyRepStats,
+        schedule: DiffusionSchedule,
+        *,
+        batch_size: int = 64,
+        num_samples: int = 1,
+        sampler: str = "ddim",
+        with_guidance: bool = False,
+        guidance: GuidanceConfig = GuidanceConfig(),
+        max_inflight: int = 4,
+        output_keys=_OUTPUT_KEYS,
+    ):
+        self.batch_size = int(batch_size)
+        self.num_samples = int(num_samples)
+        self.max_inflight = max(1, int(max_inflight))
+        self._output_keys = tuple(output_keys)
+
+        def _run_dict(batch, key):
+            outs, _ = sample_bodies(
+                params, cfg, smpl, stats, schedule, batch, key,
+                num_samples, sampler=sampler, with_guidance=with_guidance,
+                guidance=guidance,
+            )
+            return {k: outs[k] for k in self._output_keys if k in outs}
+
+        def _run(batch, key):
+            outs = _run_dict(batch, key)
+            # pack everything into ONE [B, S, sum(D)] f32 buffer: a single
+            # device->host transfer per request instead of one per key
+            # (each D2H round trip has a fixed cost — substantial over
+            # remote/tunneled transports)
+            flat = [outs[k].astype(jnp.float32).reshape(
+                self.batch_size, self.num_samples, -1) for k in sorted(outs)]
+            return jnp.concatenate(flat, axis=-1)
+
+        self._run_dict = _run_dict
+        self._jf = jax.jit(_run)
+        self._layout = None  # [(key, trailing_shape, offset, size)], lazy
+
+    # -------------------------------------------------------------- single
+    def submit(self, batch: Dict, *, seed: int = 0):
+        """Enqueue one request (async). Returns (device_outputs, n_valid)."""
+        n = batch["img"].shape[0]
+        if n > self.batch_size:
+            raise ValueError(
+                f"request batch {n} > compiled batch {self.batch_size}; "
+                "split upstream or build a bigger Predictor")
+        if n < self.batch_size:
+            batch = pad_batch(batch, self.batch_size)
+        key = jax.random.PRNGKey(seed)
+        if self._layout is None:
+            shapes = jax.eval_shape(self._run_dict, batch, key)
+            layout, off = [], 0
+            for k in sorted(shapes):
+                trail = shapes[k].shape[2:]
+                size = int(np.prod(trail)) if trail else 1
+                layout.append((k, trail, off, size))
+                off += size
+            self._layout = layout
+        return self._jf(batch, key), n
+
+    def _split(self, host: np.ndarray, n: int) -> Dict[str, np.ndarray]:
+        out = {}
+        for k, trail, off, size in self._layout:
+            v = host[:n, :, off:off + size]
+            out[k] = v.reshape((n, self.num_samples) + tuple(trail))
+        return out
+
+    def _gather(self, packed, n: int) -> Dict[str, np.ndarray]:
+        return self._split(np.asarray(packed), n)  # ONE transfer
+
+    def __call__(self, batch: Dict, *, seed: int = 0) -> Dict[str, np.ndarray]:
+        """One blocking request. Outputs are numpy, [n, S, ...]."""
+        outs, n = self.submit(batch, seed=seed)
+        return self._gather(outs, n)
+
+    def warmup(self, batch: Optional[Dict] = None) -> None:
+        """Trigger the (slow, cached) compile before taking traffic."""
+        if batch is None:
+            from .data.synthetic import synthetic_batch
+
+            batch = synthetic_batch(self.batch_size)
+        jax.block_until_ready(self.submit(batch)[0])
+
+    # ------------------------------------------------------------ streaming
+    def map_batches(
+        self, batches: Iterable[Dict], *, seed: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Run a stream of batches with a bounded in-flight window.
+
+        Yields numpy outputs in input order. With `max_inflight` > 1 the
+        host submits batch i+k while the device still runs batch i, and the
+        device->host readback of finished batches runs on a side thread —
+        dispatch, compute and transfer all overlap (the steady-state
+        serving pattern).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            window: deque = deque()
+            for i, b in enumerate(batches):
+                packed, n = self.submit(b, seed=seed + i)
+                window.append((pool.submit(np.asarray, packed), n))
+                if len(window) >= self.max_inflight:
+                    fut, n = window.popleft()
+                    yield self._split(fut.result(), n)
+            while window:
+                fut, n = window.popleft()
+                yield self._split(fut.result(), n)
