@@ -201,13 +201,28 @@ def main():
         batch5 = synthetic_batch(B5, num_scene_points=P, img_size=img)
 
         def fused_paper(batch, key):
-            cond, _ = compute_condition(params, cfg, batch)
+            # same dtype config as the headline `fused` (incl. --bf16)
+            if args.bf16:
+                batch = dict(batch)
+                batch["img"] = batch["img"].astype(jnp.bfloat16)
+                batch["scene_pcd_verts_full"] = (
+                    batch["scene_pcd_verts_full"].astype(jnp.bfloat16))
+            cond, _ = compute_condition(nn_params, cfg, batch)
             cond = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, S5, axis=0), cond)
-            denoise = make_denoise_fn(params, cfg, cond)
+            if args.bf16:
+                raw = make_denoise_fn(nn_params, cfg, cond)
+                denoise = lambda x, t: raw(
+                    x.astype(jnp.bfloat16), t).astype(jnp.float32)
+                cond_f32 = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if x.dtype == jnp.bfloat16 else x, cond)
+            else:
+                denoise = make_denoise_fn(nn_params, cfg, cond)
+                cond_f32 = cond
             _, x0 = sample_loop(schedule, denoise, key, (B5 * S5, 144),
                                 sampler="ddim")
-            return model_outputs(cfg, smpl, cond, x0,
+            return model_outputs(cfg, smpl, cond_f32, x0,
                                  stats)["pred_keypoints_3d"]
 
         jf = jax.jit(fused_paper)

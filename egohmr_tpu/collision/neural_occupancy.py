@@ -168,13 +168,10 @@ def make_occupancy_guidance_fn(
 
     scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]
     betas = jax.lax.stop_gradient(cond.pred_betas)
-    scene = jax.lax.stop_gradient(cond.scene_pcd)
-    if max_scene_points is not None and scene.shape[1] > max_scene_points:
-        # static top-K nearest-the-body pre-filter, same as the SDF guidance
-        # (models/egohmr.py make_guidance_fn): far points can't penetrate
-        d2 = jnp.sum(scene * scene, axis=-1)
-        _, idx = jax.lax.top_k(-d2, max_scene_points)
-        scene = jnp.take_along_axis(scene, idx[..., None], axis=1)
+    from .sdf import topk_scene_points
+
+    scene = topk_scene_points(
+        jax.lax.stop_gradient(cond.scene_pcd), max_scene_points)
 
     def neg_collision(x_t: Array) -> Array:
         pose6d = x_t * stats.std + stats.mean

@@ -35,6 +35,20 @@ class NearestResult(NamedTuple):
     idx: Array   # [B, P] int32 index of the nearest vertex
 
 
+def topk_scene_points(scene, k):
+    """Static top-K pre-filter: the K scene points nearest the canonical
+    origin (where the body sits). Far points can never penetrate the body,
+    so collision guidance/metrics are unchanged — this is the static-shape
+    analogue of the reference's <=4000-point bbox cap (egohmr.py:409-412).
+    scene: [B, P, 3] -> [B, min(K, P), 3]. None/oversize K is a no-op.
+    """
+    if k is None or scene.shape[1] <= k:
+        return scene
+    d2 = jnp.sum(scene * scene, axis=-1)  # [B, P]
+    _, idx = jax.lax.top_k(-d2, k)
+    return jnp.take_along_axis(scene, idx[..., None], axis=1)
+
+
 def nearest_vertex(
     points: Array, verts: Array, *, block_size: int = 2048,
     use_pallas: Optional[bool] = None,

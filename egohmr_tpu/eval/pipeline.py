@@ -246,12 +246,18 @@ def evaluate_batch(
         scene_s = jnp.repeat(scene, S, axis=0)
         if eval_collision and collision_backend == "occupancy":
             from ..collision.neural_occupancy import occupancy_query
-            from ..smpl import lbs as _lbs
+            from ..smpl import SMPLOutput
 
             rotmat = outputs["pred_pose_rotmat"].reshape(B * S, 24, 3, 3)
             betas_s = outputs["pred_betas"].reshape(B * S, 10)
-            out_bs = _lbs(smpl_neutral, betas_s, rotmat[:, :1],
-                          rotmat[:, 1:], pose2rot=False)
+            # rebuild the SMPLOutput from tensors model_outputs already
+            # produced instead of re-running LBS over B*S bodies
+            out_bs = SMPLOutput(
+                vertices=verts_flat,
+                joints=outputs["pred_keypoints_3d"].reshape(B * S, -1, 3),
+                full_pose=rotmat,
+                joints_smpl=outputs["pred_joints_smpl"].reshape(B * S, 24, 3),
+            )
             occ = occupancy_query(occ_params, occ_cfg, smpl_neutral,
                                   out_bs, betas_s, scene_s)
             mask = bbox_mask(scene_s, verts_flat).astype(occ.dtype)

@@ -388,8 +388,12 @@ def _render_batch(args, cfg, smpl, batch, outputs, imgnames=None):
             y0 = int(np.clip(box_center[b][1] - box_size[b] / 2, 0, H - 1))
             y1 = int(np.clip(box_center[b][1] + box_size[b] / 2, 0, H - 1))
             t = 3
-            canvas[y0:y0 + t, x0:x1], canvas[y1 - t:y1, x0:x1] = (0, 255, 0), (0, 255, 0)
-            canvas[y0:y1, x0:x0 + t], canvas[y0:y1, x1 - t:x1] = (0, 255, 0), (0, 255, 0)
+            # clamp the far-stripe starts: a negative python slice start
+            # would wrap and paint the stripe on the opposite image edge
+            canvas[y0:y0 + t, x0:x1] = (0, 255, 0)
+            canvas[max(y1 - t, 0):y1, x0:x1] = (0, 255, 0)
+            canvas[y0:y1, x0:x0 + t] = (0, 255, 0)
+            canvas[y0:y1, max(x1 - t, 0):x1] = (0, 255, 0)
         out = render_on_img(canvas, verts[b] + transl[b], faces,
                             (fx[b], fx[b]), (cx[b], cy[b]))
         Image.fromarray(out).save(os.path.join(args.output_render_root, name))

@@ -426,11 +426,10 @@ def make_guidance_fn(
     """
     scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]  # [1,24,1]
     betas = jax.lax.stop_gradient(cond.pred_betas)
-    scene = jax.lax.stop_gradient(cond.scene_pcd)
-    if max_scene_points is not None and scene.shape[1] > max_scene_points:
-        d2 = jnp.sum(scene * scene, axis=-1)  # [B, P]; body sits near origin
-        _, idx = jax.lax.top_k(-d2, max_scene_points)
-        scene = jnp.take_along_axis(scene, idx[..., None], axis=1)
+    from ..collision.sdf import topk_scene_points
+
+    scene = topk_scene_points(
+        jax.lax.stop_gradient(cond.scene_pcd), max_scene_points)
 
     def neg_collision(x_t: Array) -> Array:
         pose6d = x_t * stats.std + stats.mean
@@ -485,6 +484,10 @@ def model_outputs(
         "pred_keypoints_3d_full": kp3d_full,
         "pred_keypoints_2d_full": kp2d_full,
         "pred_vertices": out.vertices,
+        # posed skeleton joints: lets downstream consumers (the learned-
+        # occupancy collision metric) rebuild the SMPLOutput part frames
+        # without re-running LBS on B*S bodies
+        "pred_joints_smpl": out.joints_smpl,
     }
 
 

@@ -44,17 +44,18 @@ from .eval.pipeline import sample_bodies
 from .models import BodyRepStats, EgoHMRConfig
 from .smpl import SMPLModel
 
-# device outputs surfaced to clients, in [B, S, ...] layout. The default is
-# the COMPACT set (~100 KB/batch): pose/betas/camera fully determine the
-# body, and mesh-sized tensors (pred_vertices[_full], [B,S,6890,3]) cost
-# ~5 MB each per batch on the device->host link — pass them via
-# `output_keys` only when the host actually consumes meshes. (Unselected
-# outputs are DCE'd out of the compiled program by jit.)
+# device outputs surfaced to clients, in [B, S, ...] layout (the key set of
+# models.egohmr.model_outputs). The default is the COMPACT set
+# (~150 KB/batch): pose/betas (+ the input translation) fully determine the
+# body, while the mesh tensor (pred_vertices, [B,S,6890,3]) costs ~5 MB per
+# batch on the device->host link — pass MESH_OUTPUT_KEYS (or a custom set)
+# only when the host actually consumes meshes. (Unselected outputs are
+# DCE'd out of the compiled program by jit.)
 _OUTPUT_KEYS = (
     "pred_pose_6d", "pred_betas", "pred_keypoints_3d",
-    "pred_keypoints_3d_full", "pred_cam_full",
+    "pred_keypoints_3d_full", "pred_keypoints_2d_full",
 )
-MESH_OUTPUT_KEYS = _OUTPUT_KEYS + ("pred_vertices", "pred_vertices_full")
+MESH_OUTPUT_KEYS = _OUTPUT_KEYS + ("pred_vertices",)
 
 
 class Predictor:
@@ -85,6 +86,12 @@ class Predictor:
         self.num_samples = int(num_samples)
         self.max_inflight = max(1, int(max_inflight))
         self._output_keys = tuple(output_keys)
+
+        # the full pipeline is a compile-heavy program (tens of minutes cold
+        # on a remote compiler): make compiles persistent unless the app
+        # already configured a cache location itself
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
         def _run_dict(batch, key):
             outs, _ = sample_bodies(
@@ -121,6 +128,11 @@ class Predictor:
         key = jax.random.PRNGKey(seed)
         if self._layout is None:
             shapes = jax.eval_shape(self._run_dict, batch, key)
+            missing = [k for k in self._output_keys if k not in shapes]
+            if missing:
+                raise ValueError(
+                    f"output_keys {missing} not produced by the pipeline; "
+                    f"available: {sorted(shapes)}")
             layout, off = [], 0
             for k in sorted(shapes):
                 trail = shapes[k].shape[2:]
