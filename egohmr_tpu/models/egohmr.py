@@ -520,12 +520,17 @@ def compute_loss(
     *,
     train: bool,
     use_collision: bool = False,
+    max_collision_points: Optional[int] = 4096,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Weighted stage-2 loss (reference egohmr.py:307-449).
 
     `use_collision` stands in for the reference's `cur_epoch >=
     start_coap_epoch` gate — resolved by the caller so the jitted graph stays
-    static per phase.
+    static per phase. `max_collision_points` is the static top-K analogue of
+    the reference's <=4000-point bbox crop before its COAP loss
+    (egohmr.py:406-412): the body sits at the canonical origin, so the K
+    nearest points contain every possible penetrator and the masked loss is
+    unchanged; None disables the cap (full cloud).
     """
     B = outputs["pred_keypoints_3d"].shape[0]
     s2o = jnp.asarray(C.SMPL_TO_OPENPOSE)
@@ -583,9 +588,12 @@ def compute_loss(
 
     # collision (penetration) loss — batched SDF replaces the COAP loop
     if use_collision:
+        from ..collision.sdf import topk_scene_points
+
+        scene = topk_scene_points(cond.scene_pcd, max_collision_points)
         normals = vertex_normals(pred_vertices, smpl_neutral.faces)
-        mask = bbox_mask(cond.scene_pcd, jax.lax.stop_gradient(pred_vertices))
-        sdf = signed_distance(cond.scene_pcd, pred_vertices, normals)
+        mask = bbox_mask(scene, jax.lax.stop_gradient(pred_vertices))
+        sdf = signed_distance(scene, pred_vertices, normals)
         loss_coll = jnp.mean(collision_loss(sdf, mask.astype(sdf.dtype)))
     else:
         loss_coll = jnp.zeros(())

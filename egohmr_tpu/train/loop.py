@@ -46,6 +46,9 @@ class TrainConfig:
     lr: float = 1e-4                 # reference configs/prohmr.yaml:5
     weight_decay: float = 1e-4       # reference configs/prohmr.yaml:6
     use_collision_loss: bool = False  # flips on at start_coap_epoch
+    # static top-K scene cap for the collision loss (exact; analogue of the
+    # reference's <=4000-point bbox crop, egohmr.py:406-412); None = full cloud
+    max_collision_points: Optional[int] = 4096
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
@@ -92,6 +95,7 @@ def stage2_loss(
     key: Array,
     *,
     use_collision: bool,
+    max_collision_points: Optional[int] = 4096,
     axis_name: Optional[str] = None,
 ) -> Tuple[Array, Tuple[Dict, dict]]:
     """One training forward: sample t ~ U, q_sample, denoise, loss.
@@ -137,6 +141,7 @@ def stage2_loss(
     total, losses = compute_loss(
         cfg, weights, smpl_neutral, smpl_male, smpl_female, batch, cond, outputs,
         train=True, use_collision=use_collision,
+        max_collision_points=max_collision_points,
     )
     new_params = dict(p1)
     new_params["diffusion_model"] = p2["diffusion_model"]
@@ -184,7 +189,9 @@ def make_train_step(
         )(
             params, cfg, weights, schedule, stats,
             smpl_neutral, smpl_male, smpl_female, batch, key,
-            use_collision=tcfg.use_collision_loss, axis_name=axis_name,
+            use_collision=tcfg.use_collision_loss,
+            max_collision_points=tcfg.max_collision_points,
+            axis_name=axis_name,
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

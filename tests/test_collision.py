@@ -214,3 +214,42 @@ def test_nearest_k_vertices_matches_bruteforce(rng):
     np.testing.assert_allclose(
         np.asarray(d2), np.take_along_axis(d, want_idx, -1),
         rtol=1e-3, atol=1e-5)
+
+
+def test_topk_scene_cap_keeps_collision_loss_exact():
+    """compute_loss with the static top-K scene cap == uncapped, when the
+    cap keeps every point within the body's reach (the invariant the cap is
+    built on; reference crops to <=4000 bbox points, egohmr.py:406-412)."""
+    import jax
+    import jax.numpy as jnp
+    from egohmr_tpu.collision.sdf import (
+        bbox_mask, collision_loss, signed_distance, topk_scene_points,
+    )
+    from egohmr_tpu.smpl import make_synthetic_model, lbs, vertex_normals
+
+    smpl = make_synthetic_model(num_vertices=256)
+    B = 2
+    k = jax.random.PRNGKey(0)
+    betas = jax.random.normal(k, (B, 10)) * 0.3
+    aa = jax.random.normal(jax.random.fold_in(k, 1), (B, 24, 3)) * 0.1
+    out = lbs(smpl, betas, aa[:, 0], aa[:, 1:].reshape(B, 69))
+    verts = out.vertices
+    normals = vertex_normals(verts, smpl.faces)
+
+    near = jax.random.normal(jax.random.fold_in(k, 2), (B, 500, 3)) * 0.4
+    far = (jax.random.normal(jax.random.fold_in(k, 3), (B, 5500, 3)) * 0.3
+           + jnp.asarray([5.0, 5.0, 5.0]))
+    scene = jnp.concatenate([near, far], axis=1)
+    # shuffle so the near points aren't a contiguous prefix
+    perm = jax.random.permutation(jax.random.fold_in(k, 4), scene.shape[1])
+    scene = scene[:, perm]
+
+    def loss(pcd):
+        m = bbox_mask(pcd, verts)
+        sdf = signed_distance(pcd, verts, normals)
+        return collision_loss(sdf, m.astype(sdf.dtype))
+
+    full = loss(scene)
+    capped = loss(topk_scene_points(scene, 2000))
+    np.testing.assert_allclose(np.asarray(capped), np.asarray(full),
+                               rtol=1e-6, atol=1e-7)
