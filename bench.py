@@ -39,6 +39,10 @@ def main():
                          "conditioning is computed once per image and tiled")
     ap.add_argument("--skip-baseline", action="store_true",
                     help="skip the reference-architecture variant")
+    ap.add_argument("--guided", action="store_true",
+                    help="measure guided DDPM-50 (collision-score gradient "
+                         "each low-noise step) at batch 16 instead of the "
+                         "DDIM-5 headline")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +51,9 @@ def main():
     # compiler; persist it so repeat bench runs start in seconds
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.guided:
+        return _guided_bench(args)
 
     import jax.numpy as jnp
 
@@ -258,6 +265,69 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def _guided_bench(args):
+    """Guided DDPM-50 throughput (reference test_egohmr.py with
+    --with_coap_grad: egohmr.py:517-605 + gaussian_diffusion.py:764-772)."""
+    import jax
+    import jax.numpy as jnp
+
+    from egohmr_tpu.data.synthetic import synthetic_batch
+    from egohmr_tpu.diffusion import GuidanceConfig, make_schedule, sample_loop
+    from egohmr_tpu.models import (
+        BodyRepStats, EgoHMRConfig, compute_condition, init_egohmr,
+        make_denoise_fn, make_guidance_fn, model_outputs,
+    )
+    from egohmr_tpu.smpl import make_synthetic_model
+
+    B, P, V = 16, 20000, 6890
+    cfg = EgoHMRConfig(pointnet_impl=args.pointnet)
+    params = init_egohmr(jax.random.PRNGKey(0), cfg)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=V)
+    schedule = make_schedule(50, "cosine", "")  # full DDPM-50
+    batch = synthetic_batch(B, num_scene_points=P)
+
+    def guided(batch, key):
+        cond, _ = compute_condition(params, cfg, batch)
+        denoise = make_denoise_fn(params, cfg, cond)
+        guide = make_guidance_fn(params, cfg, smpl, cond, stats)
+        _, x0 = sample_loop(schedule, denoise, key, (B, 144), sampler="ddpm",
+                            guidance_fn=guide,
+                            guidance=GuidanceConfig(cond_grad_weight=2.0))
+        return model_outputs(cfg, smpl, cond, x0, stats)["pred_keypoints_3d"]
+
+    jf = jax.jit(guided)
+    t0 = time.time()
+    jax.block_until_ready(jf(batch, jax.random.PRNGKey(0)))
+    compile_s = time.time() - t0
+    lat = []
+    for i in range(args.iters):
+        t0 = time.time()
+        jax.block_until_ready(jf(batch, jax.random.PRNGKey(i + 1)))
+        lat.append(time.time() - t0)
+    p50 = sorted(lat)[len(lat) // 2]
+    n_pipe = max(2 * args.iters, 10)
+    t0 = time.time()
+    outs = [jf(batch, jax.random.PRNGKey(100 + i)) for i in range(n_pipe)]
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / n_pipe
+    print(f"# guided: compile {compile_s:.1f}s, blocking p50 {p50*1e3:.1f}ms, "
+          f"pipelined {dt*1e3:.1f}ms/batch", file=sys.stderr)
+    print(json.dumps({
+        "metric": "guided_ddpm50_samples_per_sec_per_chip",
+        "value": round(B / dt, 2),
+        "unit": "samples/s",
+        "vs_baseline": None,
+        "extra": {
+            "batch_size": B,
+            "scene_points": P,
+            "p50_latency_ms_per_batch": round(p50 * 1e3, 2),
+            "cond_grad_weight": 2.0,
+            "device": str(jax.devices()[0]),
+        },
+    }))
 
 
 if __name__ == "__main__":
