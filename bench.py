@@ -89,19 +89,11 @@ def main():
     batch = synthetic_batch(B, num_scene_points=P, img_size=img)
 
     if args.bf16:
-        bf16 = jnp.bfloat16
-        # cast weights/biases but KEEP BatchNorm leaves f32: nn.core.batchnorm
-        # folds f32 stats into a per-channel scale/shift cast to the
-        # activation dtype at eval, so activations stay bf16 end-to-end
-        # (a bf16 `x - mean_f32` would silently promote everything to f32)
-        nn_params = jax.tree_util.tree_map_with_path(
-            lambda path, x: x if (
-                x.dtype != jnp.float32
-                or path[-1].key in ("scale", "mean", "var")
-                or (path[-1].key == "bias" and len(path) > 1
-                    and "bn" in str(path[-2].key))
-            ) else x.astype(bf16),
-            params)
+        # BN leaves stay f32 and fold into the activation dtype at eval
+        # (nn.core.batchnorm) — activations stay bf16 end-to-end
+        from egohmr_tpu.nn.core import cast_params_bf16
+
+        nn_params = cast_params_bf16(params)
     else:
         nn_params = params
 

@@ -66,6 +66,7 @@ def sample_bodies(
     collision_backend: str = "sdf",
     occ_params: Optional[dict] = None,
     occ_cfg=None,
+    bf16: bool = False,
 ) -> Tuple[Dict[str, Array], Condition]:
     """Draw `num_samples` bodies per image; outputs have shape [B, S, ...].
 
@@ -81,10 +82,32 @@ def sample_bodies(
         batch["smpl_params"]["transl"] = batch["stage1_transl_full"]
 
     B = batch["img"].shape[0]
+    if bf16:
+        # low-precision conditioning + denoiser (BN stats stay f32 and fold
+        # into the activation dtype — nn.core.batchnorm); sampler math,
+        # guidance, SMPL and metrics stay float32
+        from ..nn.core import cast_params_bf16
+
+        params = cast_params_bf16(params)
+        batch = dict(batch)
+        batch["img"] = batch["img"].astype(jnp.bfloat16)
+        batch["scene_pcd_verts_full"] = (
+            batch["scene_pcd_verts_full"].astype(jnp.bfloat16))
     cond, _ = compute_condition(params, cfg, batch)
     cond_s = tile_condition(cond, num_samples)
-
-    denoise = make_denoise_fn(params, cfg, cond_s)
+    if bf16:
+        raw = make_denoise_fn(params, cfg, cond_s)
+        denoise = lambda x, t: raw(
+            x.astype(jnp.bfloat16), t).astype(jnp.float32)
+        # downstream consumers (guidance, SMPL, reprojection) are f32
+        cond_s = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x, cond_s)
+        cond = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x, cond)
+    else:
+        denoise = make_denoise_fn(params, cfg, cond_s)
     guidance_fn = None
     if with_guidance:
         if collision_backend == "occupancy":

@@ -71,6 +71,10 @@ def parse_args(argv=None):
                    help="save body-overlay renders for the first batch "
                         "(reference test_egohmr.py:41-44)")
     p.add_argument("--output_render_root", type=str, default="output_render")
+    p.add_argument("--bf16", type=b, default=False,
+                   help="bfloat16 conditioning + denoiser (BN folded to the "
+                        "activation dtype); sampler math, guidance, SMPL and "
+                        "metrics stay float32")
     p.add_argument("--pointnet_impl", type=str, default="xla",
                    choices=["xla", "fused"],
                    help="scene encoder: 'fused' = whole-network Pallas TPU "
@@ -199,7 +203,7 @@ def main(argv=None):
             args.num_samples, sampler=sampler, with_guidance=with_guidance,
             guidance=guidance, use_stage1_transl=args.two_stage,
             collision_backend=args.collision_backend,
-            occ_params=occ_params, occ_cfg=occ_cfg,
+            occ_params=occ_params, occ_cfg=occ_cfg, bf16=args.bf16,
         )
         return evaluate_batch(
             cfg, smpl_n, smpl_m, smpl_f, batch, outputs, cond,

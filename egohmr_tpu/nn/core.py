@@ -133,6 +133,26 @@ def batchnorm(
     return y, new_params
 
 
+
+def cast_params_bf16(params):
+    """Cast weights/biases to bfloat16 for low-precision inference, KEEPING
+    BatchNorm leaves float32: `batchnorm` (eval) folds f32 stats into a
+    per-channel scale/shift cast to the activation dtype, so activations
+    stay bf16 end-to-end while the BN arithmetic stays accurate. (A bf16
+    `x - mean_f32` would silently promote everything back to f32.)"""
+    def cast(path, x):
+        if x.dtype != jnp.float32:
+            return x
+        leaf = path[-1].key
+        if leaf in ("scale", "mean", "var"):
+            return x
+        if leaf == "bias" and len(path) > 1 and "bn" in str(path[-2].key):
+            return x
+        return x.astype(jnp.bfloat16)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def is_bn_state(path: Tuple[str, ...]) -> bool:
     """True for BN running-stat leaves (excluded from optimization)."""
     return path[-1] in ("mean", "var")

@@ -79,6 +79,7 @@ class Predictor:
         sampler: str = "ddim",
         with_guidance: bool = False,
         guidance: GuidanceConfig = GuidanceConfig(),
+        bf16: bool = False,
         max_inflight: int = 4,
         output_keys=_OUTPUT_KEYS,
     ):
@@ -97,7 +98,7 @@ class Predictor:
             outs, _ = sample_bodies(
                 params, cfg, smpl, stats, schedule, batch, key,
                 num_samples, sampler=sampler, with_guidance=with_guidance,
-                guidance=guidance,
+                guidance=guidance, bf16=bf16,
             )
             return {k: outs[k] for k in self._output_keys if k in outs}
 

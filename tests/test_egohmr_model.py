@@ -177,3 +177,24 @@ def test_hoisted_denoise_matches_denoise_x0(setup):
         got = make_denoise_fn(params, cfg, cond, fuse=fuse)(x_t, t)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_sample_bodies_bf16_close_to_f32(setup):
+    """The bf16 inference path (cast params, bf16 conditioning/denoiser,
+    f32 sampler+SMPL) yields finite outputs close to the f32 pipeline."""
+    from egohmr_tpu.diffusion import make_schedule
+    from egohmr_tpu.eval.pipeline import sample_bodies
+
+    cfg, params, stats, smpl, batch = setup
+    schedule = make_schedule(50, "cosine", "ddim5")
+    key = jax.random.PRNGKey(11)
+    out32, _ = sample_bodies(params, cfg, smpl, stats, schedule, batch, key,
+                             2, sampler="ddim")
+    out16, _ = sample_bodies(params, cfg, smpl, stats, schedule, batch, key,
+                             2, sampler="ddim", bf16=True)
+    a = np.asarray(out32["pred_keypoints_3d"])
+    b = np.asarray(out16["pred_keypoints_3d"])
+    assert b.dtype == np.float32 and np.isfinite(b).all()
+    assert a.shape == b.shape
+    # same seed, same sampler: the bodies should agree to bf16 tolerance
+    assert np.mean(np.abs(a - b)) < 0.05
