@@ -80,13 +80,23 @@ class Predictor:
         with_guidance: bool = False,
         guidance: GuidanceConfig = GuidanceConfig(),
         bf16: bool = False,
+        mesh=None,
         max_inflight: int = 4,
         output_keys=_OUTPUT_KEYS,
     ):
+        """`mesh`: optional 1-D `jax.sharding.Mesh` — each request's batch is
+        sharded over its devices (data parallelism; the whole pipeline is
+        per-sample, so XLA partitions every op with no model changes).
+        `batch_size` must divide by the mesh size."""
         self.batch_size = int(batch_size)
         self.num_samples = int(num_samples)
         self.max_inflight = max(1, int(max_inflight))
         self._output_keys = tuple(output_keys)
+        self._mesh = mesh
+        if mesh is not None and self.batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} must divide by the "
+                f"{mesh.size}-device mesh")
 
         # the full pipeline is a compile-heavy program (tens of minutes cold
         # on a remote compiler): make compiles persistent unless the app
@@ -126,6 +136,10 @@ class Predictor:
                 "split upstream or build a bigger Predictor")
         if n < self.batch_size:
             batch = pad_batch(batch, self.batch_size)
+        if self._mesh is not None:
+            from .parallel import shard_batch
+
+            batch = shard_batch(self._mesh, batch)
         key = jax.random.PRNGKey(seed)
         if self._layout is None:
             shapes = jax.eval_shape(self._run_dict, batch, key)

@@ -70,3 +70,27 @@ def test_map_batches_order_and_count(predictor):
     ref2 = predictor(batches[2], seed=7 + 2)
     np.testing.assert_allclose(outs[2]["pred_pose_6d"], ref2["pred_pose_6d"],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_sharded_predictor_matches_single_device():
+    """An 8-device data-parallel Predictor returns the same bodies as the
+    unsharded one (the pipeline is per-sample; sharding is transparent)."""
+    from egohmr_tpu.parallel import make_mesh
+
+    params = init_egohmr(jax.random.PRNGKey(0), CFG)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=128)
+    schedule = make_schedule(50, "cosine", "ddim5")
+    kwargs = dict(batch_size=8, num_samples=1)
+    p1 = Predictor(params, CFG, smpl, stats, schedule, **kwargs)
+    p8 = Predictor(params, CFG, smpl, stats, schedule,
+                   mesh=make_mesh(8), **kwargs)
+    batch = _mini_batch(8, seed=21)
+    a = p1(batch, seed=5)
+    b = p8(batch, seed=5)
+    np.testing.assert_allclose(a["pred_pose_6d"], b["pred_pose_6d"],
+                               rtol=2e-4, atol=2e-4)
+
+    with pytest.raises(ValueError):
+        Predictor(params, CFG, smpl, stats, schedule, batch_size=6,
+                  mesh=make_mesh(8))
