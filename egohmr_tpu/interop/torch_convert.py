@@ -14,7 +14,7 @@ Layout rules:
 """
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Dict, Optional, Mapping
 
 import jax.numpy as jnp
 import numpy as np
@@ -165,9 +165,11 @@ def convert_modulated_gcn(sd: Flat, prefix: str = "diffusion_model.",
 
 # ----------------------------------------------------------------- heads
 def convert_timestep_embedder(sd: Flat, prefix: str = "embed_timestep.",
-                              latent_dim: int = 512) -> dict:
+                              latent_dim: Optional[int] = None) -> dict:
     from ..nn.embedders import sinusoidal_table
 
+    if latent_dim is None:  # infer from the MLP input width
+        latent_dim = np.asarray(sd[prefix + "time_embed.0.weight"]).shape[1]
     return {
         "pe": jnp.asarray(sinusoidal_table(latent_dim)),
         "l0": _lin(sd, prefix + "time_embed.0"),
@@ -254,11 +256,12 @@ def convert_conditional_glow(sd: Flat, prefix: str = "flow.flow.",
 
 
 def convert_prohmr(sd: Flat, num_layers: int = 4,
-                   num_blocks_per_layer: int = 2) -> dict:
+                   num_blocks_per_layer: int = 2,
+                   resnet_layers: int = 50) -> dict:
     """Full stage-1 ProHMR-scene param tree from a reference checkpoint
     (module layout: models/prohmr/prohmr_scene.py ctor)."""
     return {
-        "backbone": convert_resnet(sd, "backbone."),
+        "backbone": convert_resnet(sd, "backbone.", resnet_layers),
         "scene_enc": convert_pointnet(sd, "scene_enc."),
         "flow": convert_conditional_glow(sd, "flow.flow.", num_layers,
                                          num_blocks_per_layer),
@@ -286,11 +289,12 @@ def convert_discriminator(sd: Flat, prefix: str = "discriminator.") -> dict:
 
 
 # ------------------------------------------------------------- full models
-def convert_egohmr(sd: Flat, num_layers: int = 4) -> dict:
+def convert_egohmr(sd: Flat, num_layers: int = 4,
+                   resnet_layers: int = 50) -> dict:
     """Full stage-2 EgoHMR param tree from a reference checkpoint
     (model key layout: models/egohmr/egohmr.py ctor, :57-102)."""
     return {
-        "backbone": convert_resnet(sd, "backbone."),
+        "backbone": convert_resnet(sd, "backbone.", resnet_layers),
         "scene_enc": convert_pointnet(sd, "scene_enc."),
         "transl_enc": convert_transl_enc(sd, "transl_enc."),
         "embed_timestep": convert_timestep_embedder(sd, "embed_timestep."),
