@@ -71,6 +71,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_pretrained_ckpt", type=str, default="",
                    help=".pt (torch, backbone warm start) or orbax dir")
+    p.add_argument("--export_torch", type=str, default="",
+                   help="after training, also write the final params in the "
+                        "reference torch checkpoint layout (.pt, or .npz "
+                        "without torch) for the released PyTorch eval code")
     p.add_argument("--load_imagenet_ckpt", type=str, default="",
                    help="torchvision ImageNet resnet50 state_dict (.pt/.pth "
                         "or flat .npz) for backbone warm start — the "
@@ -334,6 +338,14 @@ def main(argv=None):
                     {"params": jax.device_get(params),
                      "opt_state": jax.device_get(opt_state),
                      "step": args.num_steps - 1})
+    if args.export_torch:
+        from ..interop.torch_export import export_egohmr, save_state_dict
+
+        save_state_dict(export_egohmr(jax.device_get(params)),
+                        args.export_torch,
+                        extra={"total_steps": args.num_steps})
+        logger.info("exported torch-layout checkpoint to %s",
+                    args.export_torch)
     writer.close()
     logger.info("done")
 
