@@ -168,20 +168,45 @@ def lbs(
     )
 
 
+_INCIDENCE_CACHE: dict = {}
+
+
+def _vertex_face_table(faces_np: np.ndarray, num_vertices: int) -> np.ndarray:
+    """[V, K] indices of the faces incident to each vertex, padded with the
+    sentinel index F (an extra all-zeros face-normal row). The mesh topology
+    is static, so this is built once on host and cached."""
+    key = (faces_np.shape[0], num_vertices, faces_np.tobytes())
+    cached = _INCIDENCE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lists: list = [[] for _ in range(num_vertices)]
+    for f, (a, b, c) in enumerate(faces_np):
+        lists[a].append(f)
+        lists[b].append(f)
+        lists[c].append(f)
+    k_max = max((len(l) for l in lists), default=1)
+    table = np.full((num_vertices, k_max), faces_np.shape[0], np.int32)
+    for v, l in enumerate(lists):
+        table[v, :len(l)] = l
+    _INCIDENCE_CACHE[key] = table
+    return table
+
+
 def vertex_normals(vertices: Array, faces: Array) -> Array:
-    """Area-weighted per-vertex normals. vertices: [B, V, 3]; faces: [F, 3]."""
+    """Area-weighted per-vertex normals. vertices: [B, V, 3]; faces: [F, 3].
+
+    Scatter-free: per-vertex sums gather face normals through a static
+    [V, K] incidence table (scatter-add is a serial slow path on TPU; the
+    gather keeps the whole op on the VPU).
+    """
     v0 = vertices[:, faces[:, 0]]
     v1 = vertices[:, faces[:, 1]]
     v2 = vertices[:, faces[:, 2]]
     fn = jnp.cross(v1 - v0, v2 - v0)  # [B, F, 3] (area-weighted)
     V = vertices.shape[1]
 
-    def accumulate(fn_b):
-        out = jnp.zeros((V, 3), vertices.dtype)
-        out = out.at[faces[:, 0]].add(fn_b)
-        out = out.at[faces[:, 1]].add(fn_b)
-        out = out.at[faces[:, 2]].add(fn_b)
-        return out
-
-    n = jax.vmap(accumulate)(fn)
+    table = jnp.asarray(_vertex_face_table(np.asarray(faces), V))  # [V, K]
+    fn_pad = jnp.concatenate(
+        [fn, jnp.zeros((fn.shape[0], 1, 3), fn.dtype)], axis=1)  # sentinel
+    n = jnp.sum(fn_pad[:, table], axis=2)  # [B, V, K, 3] -> [B, V, 3]
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)

@@ -100,8 +100,13 @@ def main(argv=None):
     )
     passed = acc >= args.accuracy_bar
 
-    os.makedirs(os.path.dirname(args.save_path) or ".", exist_ok=True)
-    save_npz(args.save_path, params)
+    save_path = args.save_path
+    if not passed:
+        # never clobber a shipped/passing artifact with one that missed the
+        # bar — divert to a .failed sidecar the user can inspect
+        save_path = args.save_path + ".failed.npz"
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    save_npz(save_path, params)
     meta = {
         "accuracy": acc,
         "accuracy_bar": args.accuracy_bar,
@@ -114,7 +119,7 @@ def main(argv=None):
                              "hidden_dim": cfg.hidden_dim,
                              "num_layers": cfg.num_layers},
     }
-    with open(args.save_path + ".json", "w") as f:
+    with open(save_path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     print(json.dumps(meta))
     if not passed:
