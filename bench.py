@@ -105,8 +105,7 @@ def main():
         if args.bf16:
             batch = dict(batch)
             batch["img"] = batch["img"].astype(jnp.bfloat16)
-            batch["scene_pcd_verts_full"] = (
-                batch["scene_pcd_verts_full"].astype(jnp.bfloat16))
+            # scene stays f32; compute_condition casts the encoder input
         cond, _ = compute_condition(nn_params, cfg, batch)
         if S > 1:  # tile per-image conditioning across the S diverse samples
             cond = jax.tree_util.tree_map(
@@ -204,8 +203,6 @@ def main():
             if args.bf16:
                 batch = dict(batch)
                 batch["img"] = batch["img"].astype(jnp.bfloat16)
-                batch["scene_pcd_verts_full"] = (
-                    batch["scene_pcd_verts_full"].astype(jnp.bfloat16))
             cond, _ = compute_condition(nn_params, cfg, batch)
             cond = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, S5, axis=0), cond)
@@ -269,12 +266,25 @@ def _guided_bench(args):
     from egohmr_tpu.diffusion import GuidanceConfig, make_schedule, sample_loop
     from egohmr_tpu.models import (
         BodyRepStats, EgoHMRConfig, compute_condition, init_egohmr,
-        make_denoise_fn, make_guidance_fn, model_outputs,
+        make_guidance_fn, make_denoise_fn, model_outputs,
     )
     from egohmr_tpu.smpl import make_synthetic_model
 
-    B, P, V = 16, 20000, 6890
-    cfg = EgoHMRConfig(pointnet_impl=args.pointnet)
+    if args.bf16:
+        print("# --bf16 does not apply to --guided (guidance math is f32); "
+              "ignoring", file=sys.stderr)
+    if args.quick:
+        cfg = EgoHMRConfig(
+            img_feat_dim=128, backbone_type="stub", scene_feat_dim=64,
+            pointnet_hidden_dim=32, transl_embed_dim=32,
+            timestep_embed_dim=64, input_process_dim=64, gcn_hid_dim=128,
+            gcn_layers=2,
+        )
+        B, P, V = 4, 2048, 512
+    else:
+        cfg = EgoHMRConfig(pointnet_impl=args.pointnet)
+        B, P, V = (args.batch_size if args.batch_size != 64 else 16,
+                   20000, 6890)
     params = init_egohmr(jax.random.PRNGKey(0), cfg)
     stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
     smpl = make_synthetic_model(num_vertices=V)

@@ -37,14 +37,39 @@ class NearestResult(NamedTuple):
 
 def topk_scene_points(scene, k):
     """Static top-K pre-filter: the K scene points nearest the canonical
-    origin (where the body sits). Far points can never penetrate the body,
-    so collision guidance/metrics are unchanged — this is the static-shape
-    analogue of the reference's <=4000-point bbox cap (egohmr.py:409-412).
+    origin (where the body sits) — the static-shape analogue of the
+    reference's <=4000-point bbox crop + random subsample (egohmr.py:409-412).
     scene: [B, P, 3] -> [B, min(K, P), 3]. None/oversize K is a no-op.
+
+    APPROXIMATION NOTE: for dense body-centered crops, points near the
+    origin can outnumber K while a penetrator sits farther out (an
+    outstretched hand past thousands of floor points). Use
+    `topk_scene_points_near_body` when the posed vertices are available —
+    it is exact whenever the body-bbox point count fits in K.
     """
     if k is None or scene.shape[1] <= k:
         return scene
     d2 = jnp.sum(scene * scene, axis=-1)  # [B, P]
+    _, idx = jax.lax.top_k(-d2, k)
+    return jnp.take_along_axis(scene, idx[..., None], axis=1)
+
+
+def topk_scene_points_near_body(scene, verts, k, margin: float = 0.02):
+    """The K scene points nearest the BODY's bounding box (distance 0 inside
+    the padded bbox). Every bbox-masked point ranks before any outside
+    point, so any computation that masks to the body bbox afterwards
+    (`bbox_mask` + `collision_loss`) is EXACT as long as the number of
+    masked points is <= K — the same contract as the reference's <=4000
+    bbox crop (egohmr.py:409-412), without its random subsample.
+    scene: [B, P, 3]; verts: [B, V, 3] (stop-gradient'd internally).
+    """
+    if k is None or scene.shape[1] <= k:
+        return scene
+    v = jax.lax.stop_gradient(verts)
+    lo = jnp.min(v, axis=1, keepdims=True) - margin  # [B, 1, 3]
+    hi = jnp.max(v, axis=1, keepdims=True) + margin
+    d = scene - jnp.clip(scene, lo, hi)  # 0 inside the padded bbox
+    d2 = jnp.sum(d * d, axis=-1)
     _, idx = jax.lax.top_k(-d2, k)
     return jnp.take_along_axis(scene, idx[..., None], axis=1)
 

@@ -91,8 +91,9 @@ def sample_bodies(
         params = cast_params_bf16(params)
         batch = dict(batch)
         batch["img"] = batch["img"].astype(jnp.bfloat16)
-        batch["scene_pcd_verts_full"] = (
-            batch["scene_pcd_verts_full"].astype(jnp.bfloat16))
+        # the scene cloud stays f32: compute_condition casts only the
+        # encoder's input to the image dtype, so Condition.scene_pcd keeps
+        # full precision for guidance and collision/contact metrics
     cond, _ = compute_condition(params, cfg, batch)
     cond_s = tile_condition(cond, num_samples)
     if bf16:

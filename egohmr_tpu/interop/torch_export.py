@@ -192,17 +192,25 @@ def export_discriminator(p: dict, prefix: str = "discriminator.") -> Flat:
 
 
 def save_state_dict(sd: Flat, path: str,
-                    extra: Optional[dict] = None) -> None:
+                    extra: Optional[dict] = None) -> str:
     """Write a reference-style checkpoint: torch .pt ({'state_dict': ...},
     the layout train_egohmr.py:217-233 saves) when torch is available and
-    the path ends in .pt, else a flat .npz with identical keys."""
+    the path ends in .pt; otherwise (or if torch is missing) a flat .npz
+    with identical keys. Returns the path actually written."""
     if path.endswith(".pt"):
-        import torch
-
-        obj = {"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
-                              for k, v in sd.items()}}
-        if extra:
-            obj.update(extra)
-        torch.save(obj, path)
-    else:
-        np.savez(path if path.endswith(".npz") else path + ".npz", **sd)
+        try:
+            import torch
+        except ImportError:
+            path = path[:-3] + ".npz"  # torch-free environment: fall back
+        else:
+            obj = {"state_dict": {
+                k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}}
+            if extra:
+                obj.update(extra)
+            torch.save(obj, path)
+            return path
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez(path, **sd)
+    return path

@@ -223,6 +223,11 @@ def compute_condition(
     scene_pcd = batch["scene_pcd_verts_full"]
     if scene_cano:
         scene_pcd = scene_pcd - input_transl[:, None, :]
+    # run the encoder in the image dtype (bf16 inference path) but keep the
+    # f32 cloud in Condition: scene_pcd feeds guidance gradients and the
+    # collision/contact metrics, where bf16 coordinates would cost ~1 cm of
+    # precision at room scale
+    scene_in = scene_pcd.astype(batch["img"].dtype)
     use_fused_pointnet = (
         cfg.pointnet_impl == "fused" and not train
         and jax.default_backend() not in ("cpu",)  # Pallas needs the TPU
@@ -230,9 +235,9 @@ def compute_condition(
     if use_fused_pointnet:
         from ..nn.pointnet_fused import pointnet_forward_fused
 
-        scene_feats = pointnet_forward_fused(params["scene_enc"], scene_pcd)
+        scene_feats = pointnet_forward_fused(params["scene_enc"], scene_in)
     else:
-        scene_feats = pointnet_forward(params["scene_enc"], scene_pcd)
+        scene_feats = pointnet_forward(params["scene_enc"], scene_in)
     transl_feat = transl_enc(params["transl_enc"], input_transl)
 
     shared = jnp.concatenate([scene_feats, transl_feat, cam_feats], axis=-1)
@@ -528,9 +533,10 @@ def compute_loss(
     start_coap_epoch` gate — resolved by the caller so the jitted graph stays
     static per phase. `max_collision_points` is the static top-K analogue of
     the reference's <=4000-point bbox crop before its COAP loss
-    (egohmr.py:406-412): the body sits at the canonical origin, so the K
-    nearest points contain every possible penetrator and the masked loss is
-    unchanged; None disables the cap (full cloud).
+    (egohmr.py:406-412): points are ranked by distance to the posed body's
+    bbox, so the masked loss is EXACT whenever the bbox point count fits in
+    K (dense crops can exceed K; then the nearest-to-the-surface points
+    win, vs the reference's random subsample). None disables the cap.
     """
     B = outputs["pred_keypoints_3d"].shape[0]
     s2o = jnp.asarray(C.SMPL_TO_OPENPOSE)
@@ -588,9 +594,13 @@ def compute_loss(
 
     # collision (penetration) loss — batched SDF replaces the COAP loop
     if use_collision:
-        from ..collision.sdf import topk_scene_points
+        from ..collision.sdf import topk_scene_points_near_body
 
-        scene = topk_scene_points(cond.scene_pcd, max_collision_points)
+        # body-bbox-ranked cap: exact vs the uncapped masked loss whenever
+        # the bbox point count fits in K (the reference asserts its own
+        # <=4000-point crop covers the bbox, egohmr.py:406-412)
+        scene = topk_scene_points_near_body(
+            cond.scene_pcd, pred_vertices, max_collision_points)
         normals = vertex_normals(pred_vertices, smpl_neutral.faces)
         mask = bbox_mask(scene, jax.lax.stop_gradient(pred_vertices))
         sdf = signed_distance(scene, pred_vertices, normals)

@@ -205,8 +205,21 @@ def vertex_normals(vertices: Array, faces: Array) -> Array:
     fn = jnp.cross(v1 - v0, v2 - v0)  # [B, F, 3] (area-weighted)
     V = vertices.shape[1]
 
-    table = jnp.asarray(_vertex_face_table(np.asarray(faces), V))  # [V, K]
-    fn_pad = jnp.concatenate(
-        [fn, jnp.zeros((fn.shape[0], 1, 3), fn.dtype)], axis=1)  # sentinel
-    n = jnp.sum(fn_pad[:, table], axis=2)  # [B, V, K, 3] -> [B, V, 3]
+    if isinstance(faces, jax.core.Tracer):
+        # faces passed as a jit/vmap ARGUMENT (not the usual closed-over
+        # constant): the host-side incidence table can't be built from a
+        # tracer — fall back to scatter-add
+        def accumulate(fn_b):
+            out = jnp.zeros((V, 3), vertices.dtype)
+            out = out.at[faces[:, 0]].add(fn_b)
+            out = out.at[faces[:, 1]].add(fn_b)
+            out = out.at[faces[:, 2]].add(fn_b)
+            return out
+
+        n = jax.vmap(accumulate)(fn)
+    else:
+        table = jnp.asarray(_vertex_face_table(np.asarray(faces), V))
+        fn_pad = jnp.concatenate(
+            [fn, jnp.zeros((fn.shape[0], 1, 3), fn.dtype)], axis=1)
+        n = jnp.sum(fn_pad[:, table], axis=2)  # [B, V, K, 3] -> [B, V, 3]
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)

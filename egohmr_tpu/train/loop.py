@@ -46,8 +46,9 @@ class TrainConfig:
     lr: float = 1e-4                 # reference configs/prohmr.yaml:5
     weight_decay: float = 1e-4       # reference configs/prohmr.yaml:6
     use_collision_loss: bool = False  # flips on at start_coap_epoch
-    # static top-K scene cap for the collision loss (exact; analogue of the
-    # reference's <=4000-point bbox crop, egohmr.py:406-412); None = full cloud
+    # static top-K scene cap for the collision loss, ranked by distance to
+    # the posed body's bbox (exact while bbox points <= K; analogue of the
+    # reference's <=4000-point crop, egohmr.py:406-412); None = full cloud
     max_collision_points: Optional[int] = 4096
 
 

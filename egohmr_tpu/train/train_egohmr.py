@@ -341,11 +341,10 @@ def main(argv=None):
     if args.export_torch:
         from ..interop.torch_export import export_egohmr, save_state_dict
 
-        save_state_dict(export_egohmr(jax.device_get(params)),
-                        args.export_torch,
-                        extra={"total_steps": args.num_steps})
-        logger.info("exported torch-layout checkpoint to %s",
-                    args.export_torch)
+        written = save_state_dict(export_egohmr(jax.device_get(params)),
+                                  args.export_torch,
+                                  extra={"total_steps": args.num_steps})
+        logger.info("exported torch-layout checkpoint to %s", written)
     writer.close()
     logger.info("done")
 

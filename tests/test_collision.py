@@ -253,3 +253,51 @@ def test_topk_scene_cap_keeps_collision_loss_exact():
     capped = loss(topk_scene_points(scene, 2000))
     np.testing.assert_allclose(np.asarray(capped), np.asarray(full),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_body_bbox_cap_exact_on_dense_centered_crop():
+    """The body-bbox-ranked cap (the one the training loss uses) stays exact
+    on a DENSE body-centered crop where thousands of points sit nearer the
+    origin than a penetrator at an extremity — the case that breaks the
+    nearest-origin ranking."""
+    import jax
+    import jax.numpy as jnp
+    from egohmr_tpu.collision.sdf import (
+        bbox_mask, collision_loss, signed_distance,
+        topk_scene_points, topk_scene_points_near_body,
+    )
+    from egohmr_tpu.smpl import make_synthetic_model, lbs, vertex_normals
+
+    smpl = make_synthetic_model(num_vertices=256)
+    B = 2
+    k = jax.random.PRNGKey(7)
+    betas = jax.random.normal(k, (B, 10)) * 0.3
+    aa = jax.random.normal(jax.random.fold_in(k, 1), (B, 24, 3)) * 0.1
+    out = lbs(smpl, betas, aa[:, 0], aa[:, 1:].reshape(B, 69))
+    # shift the body off-origin so its bbox competes with origin-near points
+    verts = out.vertices + jnp.asarray([0.9, 0.0, 0.0])
+    normals = vertex_normals(verts, smpl.faces)
+
+    # dense cube crop centered at the ORIGIN: 5500 points within ~0.8 m of
+    # the origin, plus 500 points inside/near the displaced body bbox
+    dense = (jax.random.uniform(jax.random.fold_in(k, 2), (B, 5500, 3))
+             - 0.5) * 1.6
+    near_body = (jax.random.normal(jax.random.fold_in(k, 3), (B, 500, 3))
+                 * 0.25 + jnp.asarray([0.9, 0.0, 0.0]))
+    scene = jnp.concatenate([dense, near_body], axis=1)
+    perm = jax.random.permutation(jax.random.fold_in(k, 4), scene.shape[1])
+    scene = scene[:, perm]
+
+    def loss(pcd):
+        m = bbox_mask(pcd, verts)
+        sdf = signed_distance(pcd, verts, normals)
+        return collision_loss(sdf, m.astype(sdf.dtype))
+
+    full = np.asarray(loss(scene))
+    assert full.max() > 0  # some points do penetrate the displaced body
+    capped = np.asarray(loss(topk_scene_points_near_body(scene, verts, 2000)))
+    np.testing.assert_allclose(capped, full, rtol=1e-6, atol=1e-7)
+    # the origin-ranked cap is NOT exact here (documents why the training
+    # loss uses the body-bbox ranking)
+    origin_capped = np.asarray(loss(topk_scene_points(scene, 2000)))
+    assert not np.allclose(origin_capped, full, rtol=1e-4)
