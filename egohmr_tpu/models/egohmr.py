@@ -425,9 +425,12 @@ def make_guidance_fn(
     `max_scene_points`: static top-K pre-filter of scene points nearest the
     (canonical-frame) body origin, computed once per sampling run — the
     static-shape analogue of the reference's <=4000-point bbox cap
-    (egohmr.py:409-412). Points farther than the body's reach can never
-    penetrate, so the gradient is unchanged; the per-step SDF cost drops
-    ~scene_points/K. None disables the filter.
+    (egohmr.py:409-412). The per-step SDF cost drops ~scene_points/K.
+    Exact when every point within the body's reach fits in K; on dense
+    body-centered crops where more points sit within reach, the farthest
+    of them are dropped — comparable lossiness to the reference, which
+    RANDOMLY subsamples its bbox crop past 4000 points. Raise K (or pass
+    None to disable) to trade SDF cost for coverage.
     """
     scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]  # [1,24,1]
     betas = jax.lax.stop_gradient(cond.pred_betas)
