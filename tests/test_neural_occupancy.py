@@ -105,11 +105,25 @@ def test_distill_cli_artifact_roundtrip(tmp_path):
         "--latent_dim", "8", "--hidden_dim", "16", "--num_layers", "2",
         "--eval_bodies", "2", "--eval_points_per_body", "128",
         "--save_path", path, "--log_every", "0",
+        # 60 tiny steps won't reach a real bar; pin it to 0 so this smoke
+        # test exercises the PASSING save path (the miss path diverts to a
+        # .failed.npz sidecar by design and is asserted below)
+        "--accuracy_bar", "0.0",
     ])
     assert 0.0 <= meta["accuracy"] <= 1.0
     import os
 
     assert os.path.exists(path) and os.path.exists(path + ".json")
+    # a run that misses the bar must NOT clobber the passing artifact
+    meta2 = cli.main([
+        "--synthetic", "--steps", "5", "--batch_bodies", "2",
+        "--points_per_body", "128", "--label_mode", "proximity",
+        "--latent_dim", "8", "--hidden_dim", "16", "--num_layers", "2",
+        "--eval_bodies", "2", "--eval_points_per_body", "128",
+        "--save_path", path, "--log_every", "0", "--accuracy_bar", "1.1",
+    ])
+    assert not meta2["passed"]
+    assert os.path.exists(path + ".failed.npz")
     params, cfg = load_occupancy(path)
     assert cfg.latent_dim == 8 and cfg.hidden_dim == 16
     # same tree as a fresh init of that config
