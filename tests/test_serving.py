@@ -94,3 +94,18 @@ def test_mesh_sharded_predictor_matches_single_device():
     with pytest.raises(ValueError):
         Predictor(params, CFG, smpl, stats, schedule, batch_size=6,
                   mesh=make_mesh(8))
+
+
+def test_guided_predictor_finite():
+    """Predictor with collision-score guidance (DDPM) runs end-to-end."""
+    from egohmr_tpu.diffusion import GuidanceConfig
+
+    params = init_egohmr(jax.random.PRNGKey(0), CFG)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=128)
+    schedule = make_schedule(50, "cosine", "")  # full DDPM
+    pred = Predictor(params, CFG, smpl, stats, schedule, batch_size=2,
+                     num_samples=1, sampler="ddpm", with_guidance=True,
+                     guidance=GuidanceConfig(cond_grad_weight=2.0))
+    out = pred(_mini_batch(2))
+    assert np.isfinite(out["pred_pose_6d"]).all()
