@@ -26,6 +26,9 @@ def parse_args(argv=None):
     p.add_argument("--smpl_model_path", type=str, default="data/smpl")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--pointnet_impl", type=str, default="xla",
+                   choices=["xla", "fused"],
+                   help="scene encoder: fused Pallas TPU kernel or XLA")
     p.add_argument("--num_samples", type=int, default=5,
                    help="mode + (n-1) random samples (reference "
                         "test_prohmr_scene.py:23)")
@@ -59,6 +62,7 @@ def main(argv=None):
         with_focal_length=args.with_focal_length,
         with_cam_center=args.with_cam_center,
         with_bbox_info=args.with_bbox_info,
+        pointnet_impl=args.pointnet_impl,
     )
 
     if args.synthetic:

@@ -57,6 +57,9 @@ class ProHMRConfig:
     backbone_type: str = "resnet"
     scene_feat_dim: int = 512
     pointnet_hidden_dim: int = 256
+    # "fused" = whole-network Pallas scene encoder at inference
+    # (nn/pointnet_fused.py); CPU/training always use "xla"
+    pointnet_impl: str = "xla"
     flow_dim: int = 144
     flow_hidden: int = 1024
     flow_layers: int = 4
@@ -161,7 +164,16 @@ def conditioning_feats(
     scene = batch["scene_pcd_verts_full"]
     if scene_cano:
         scene = scene - batch["smpl_params"]["transl"][:, None, :]
-    scene_feats = pointnet_forward(params["scene_enc"], scene)
+    use_fused = (
+        getattr(cfg, "pointnet_impl", "xla") == "fused" and not train
+        and jax.default_backend() not in ("cpu",)
+    )
+    if use_fused:
+        from ..nn.pointnet_fused import pointnet_forward_fused
+
+        scene_feats = pointnet_forward_fused(params["scene_enc"], scene)
+    else:
+        scene_feats = pointnet_forward(params["scene_enc"], scene)
     feats = jnp.concatenate([feats, scene_feats], axis=-1)
 
     new_params = dict(params)
