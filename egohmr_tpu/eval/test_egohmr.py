@@ -196,8 +196,10 @@ def main(argv=None):
             "(train one with: python -m egohmr_tpu.train.distill_occupancy)")
         occ_params, occ_cfg = load_occupancy(args.occupancy_ckpt)
 
+    # params as a jit ARGUMENT, not a closure constant: the axon remote
+    # compiler rejects payloads with the full param tree baked in (HTTP 413)
     @jax.jit
-    def run_batch(batch, key):
+    def run_batch(params, batch, key):
         outputs, cond = sample_bodies(
             params, cfg, smpl_n, stats, schedule, batch, key,
             args.num_samples, sampler=sampler, with_guidance=with_guidance,
@@ -240,7 +242,7 @@ def main(argv=None):
             from ..parallel import shard_batch
 
             batch = shard_batch(mesh, batch)
-        res, outputs = run_batch(batch, sub)
+        res, outputs = run_batch(params, batch, sub)
         res = jax.device_get(res)
         res = jax.tree_util.tree_map(
             lambda a: np.asarray(a)[:n_valid], res)  # drop padded rows

@@ -124,8 +124,10 @@ def main(argv=None):
                     bt = pad(bt)
                 yield to_device_batch(bt), n
 
+    # params as a jit ARGUMENT, not a closure constant: the axon remote
+    # compiler rejects payloads with the full param tree baked in (HTTP 413)
     @jax.jit
-    def run_batch(batch, key):
+    def run_batch(params, batch, key):
         out, _ = forward(params, cfg, smpl_n, batch, key, args.num_samples,
                          train=False, scene_cano=args.scene_cano)
         gtp = batch["smpl_params"]
@@ -153,7 +155,7 @@ def main(argv=None):
     cam_full = []
     for batch, n_valid in batches():
         key, sub = jax.random.split(key)
-        res = jax.device_get(run_batch(batch, sub))
+        res = jax.device_get(run_batch(params, batch, sub))
         res = {k: np.asarray(v)[:n_valid] for k, v in res.items()}
         cam_full.append(res.pop("pred_cam_full"))
         for k, v in res.items():
