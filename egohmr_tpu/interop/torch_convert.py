@@ -29,7 +29,9 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     (train_egohmr.py:217-233)."""
     if path.endswith(".npz"):
         with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+            # "__extra_json__" is torch_export's reserved metadata slot (the
+            # npz analogue of the .pt file's extra keys) — not a weight
+            return {k: z[k] for k in z.files if k != "__extra_json__"}
     import torch  # local import: only needed for .pt files
 
     obj = torch.load(path, map_location="cpu", weights_only=False)

@@ -212,5 +212,14 @@ def save_state_dict(sd: Flat, path: str,
             return path
     if not path.endswith(".npz"):
         path = path + ".npz"
+    if extra:
+        # keep metadata (total_steps, ...) on the npz fallback too so the
+        # same call writes equivalent checkpoint contents regardless of
+        # environment; reserved key, JSON-encoded (values may be scalars,
+        # strings or small dicts)
+        import json
+
+        sd = dict(sd)
+        sd["__extra_json__"] = np.asarray(json.dumps(extra))
     np.savez(path, **sd)
     return path

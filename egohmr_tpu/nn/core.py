@@ -134,23 +134,31 @@ def batchnorm(
 
 
 
+_BN_KEYS = frozenset(("scale", "bias", "mean", "var"))
+
+
 def cast_params_bf16(params):
     """Cast weights/biases to bfloat16 for low-precision inference, KEEPING
     BatchNorm leaves float32: `batchnorm` (eval) folds f32 stats into a
     per-channel scale/shift cast to the activation dtype, so activations
     stay bf16 end-to-end while the BN arithmetic stays accurate. (A bf16
-    `x - mean_f32` would silently promote everything back to f32.)"""
-    def cast(path, x):
-        if x.dtype != jnp.float32:
-            return x
-        leaf = path[-1].key
-        if leaf in ("scale", "mean", "var"):
-            return x
-        if leaf == "bias" and len(path) > 1 and "bn" in str(path[-2].key):
-            return x
-        return x.astype(jnp.bfloat16)
+    `x - mean_f32` would silently promote everything back to f32.)
 
-    return jax.tree_util.tree_map_with_path(cast, params)
+    BN param dicts are detected STRUCTURALLY — a dict whose keys are exactly
+    {scale, bias, mean, var} (the `bn_init` layout) — not by the parent key
+    name, so a BN stored under any name keeps all four leaves f32."""
+    def cast(node):
+        if isinstance(node, dict):
+            if frozenset(node) == _BN_KEYS:
+                return dict(node)  # whole BN dict stays f32
+            return {k: cast(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(cast(v) for v in node)
+        if hasattr(node, "dtype") and node.dtype == jnp.float32:
+            return node.astype(jnp.bfloat16)
+        return node
+
+    return cast(params)
 
 
 def is_bn_state(path: Tuple[str, ...]) -> bool:

@@ -62,8 +62,11 @@ class Predictor:
     """Fixed-shape, pipelined stage-2 sampler for serving.
 
     Every call runs the full pipeline: conditioning once per image
-    (ResNet-50 + fused-Pallas scene PointNet + heads), `num_samples` diverse
-    bodies per image via the DDIM/DDPM scan, SMPL LBS + reprojection.
+    (ResNet-50 + the scene PointNet + heads), `num_samples` diverse bodies
+    per image via the DDIM/DDPM scan, SMPL LBS + reprojection. The scene
+    encoder defaults to the fused whole-network Pallas kernel
+    (`pointnet_impl="fused"`, auto-falls back to XLA off-TPU); pass
+    `pointnet_impl=None` to follow `cfg.pointnet_impl` instead.
     """
 
     def __init__(
@@ -83,11 +86,17 @@ class Predictor:
         mesh=None,
         max_inflight: int = 4,
         output_keys=_OUTPUT_KEYS,
+        pointnet_impl: Optional[str] = "fused",
     ):
         """`mesh`: optional 1-D `jax.sharding.Mesh` — each request's batch is
         sharded over its devices (data parallelism; the whole pipeline is
         per-sample, so XLA partitions every op with no model changes).
-        `batch_size` must divide by the mesh size."""
+        `batch_size` must divide by the mesh size. `pointnet_impl` overrides
+        `cfg.pointnet_impl` for serving (default "fused"; None = keep cfg)."""
+        if pointnet_impl is not None and cfg.pointnet_impl != pointnet_impl:
+            from dataclasses import replace
+
+            cfg = replace(cfg, pointnet_impl=pointnet_impl)
         self.batch_size = int(batch_size)
         self.num_samples = int(num_samples)
         self.max_inflight = max(1, int(max_inflight))
@@ -104,7 +113,7 @@ class Predictor:
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-        def _run_dict(batch, key):
+        def _run_dict(params, batch, key):
             outs, _ = sample_bodies(
                 params, cfg, smpl, stats, schedule, batch, key,
                 num_samples, sampler=sampler, with_guidance=with_guidance,
@@ -112,8 +121,8 @@ class Predictor:
             )
             return {k: outs[k] for k in self._output_keys if k in outs}
 
-        def _run(batch, key):
-            outs = _run_dict(batch, key)
+        def _run(params, batch, key):
+            outs = _run_dict(params, batch, key)
             # pack everything into ONE [B, S, sum(D)] f32 buffer: a single
             # device->host transfer per request instead of one per key
             # (each D2H round trip has a fixed cost — substantial over
@@ -122,6 +131,15 @@ class Predictor:
                 self.batch_size, self.num_samples, -1) for k in sorted(outs)]
             return jnp.concatenate(flat, axis=-1)
 
+        # params travel as a jit ARGUMENT, not closure constants: a closure
+        # embeds the full ResNet-50 tree as literals in the HLO, and the
+        # remote TPU compiler rejects payloads past ~200 MB (HTTP 413 — the
+        # same constraint that shaped the eval CLIs)
+        if mesh is not None:
+            from .parallel import replicate
+
+            params = replicate(mesh, params)
+        self._params = params
         self._run_dict = _run_dict
         self._jf = jax.jit(_run)
         self._layout = None  # [(key, trailing_shape, offset, size)], lazy
@@ -142,7 +160,7 @@ class Predictor:
             batch = shard_batch(self._mesh, batch)
         key = jax.random.PRNGKey(seed)
         if self._layout is None:
-            shapes = jax.eval_shape(self._run_dict, batch, key)
+            shapes = jax.eval_shape(self._run_dict, self._params, batch, key)
             missing = [k for k in self._output_keys if k not in shapes]
             if missing:
                 raise ValueError(
@@ -155,7 +173,7 @@ class Predictor:
                 layout.append((k, trail, off, size))
                 off += size
             self._layout = layout
-        return self._jf(batch, key), n
+        return self._jf(self._params, batch, key), n
 
     def _split(self, host: np.ndarray, n: int) -> Dict[str, np.ndarray]:
         out = {}
@@ -172,12 +190,13 @@ class Predictor:
         outs, n = self.submit(batch, seed=seed)
         return self._gather(outs, n)
 
-    def warmup(self, batch: Optional[Dict] = None) -> None:
-        """Trigger the (slow, cached) compile before taking traffic."""
-        if batch is None:
-            from .data.synthetic import synthetic_batch
+    def warmup(self, batch: Dict) -> None:
+        """Trigger the (slow, cached) compile before taking traffic.
 
-            batch = synthetic_batch(self.batch_size)
+        `batch` must have the shapes real traffic will use (image size,
+        scene-point count) — the program is compiled per shape, so warming
+        on a synthetic default that doesn't match would burn a 15-30 min
+        remote compile on a program no request ever runs."""
         jax.block_until_ready(self.submit(batch)[0])
 
     # ------------------------------------------------------------ streaming

@@ -198,3 +198,25 @@ def test_sample_bodies_bf16_close_to_f32(setup):
     assert a.shape == b.shape
     # same seed, same sampler: the bodies should agree to bf16 tolerance
     assert np.mean(np.abs(a - b)) < 0.05
+
+
+def test_cast_params_bf16_detects_bn_structurally():
+    """BN dicts are recognized by their {scale, bias, mean, var} key set, not
+    by the parent key containing 'bn' (round-2 advisor finding): a BN stored
+    under any name keeps ALL four leaves f32, while a plain linear named
+    'bias' still casts."""
+    import jax.numpy as jnp
+
+    from egohmr_tpu.nn.core import bn_init, cast_params_bf16, linear_init
+
+    params = {
+        "oddly_named_norm": bn_init(8),               # no 'bn' in the name
+        "layers": [linear_init(jax.random.PRNGKey(0), 4, 8)],
+        "head": {"w": jnp.zeros((8, 2)), "b": jnp.zeros((2,))},
+    }
+    cast = cast_params_bf16(params)
+    for leaf in ("scale", "bias", "mean", "var"):
+        assert cast["oddly_named_norm"][leaf].dtype == jnp.float32, leaf
+    assert cast["layers"][0]["w"].dtype == jnp.bfloat16
+    assert cast["layers"][0]["b"].dtype == jnp.bfloat16
+    assert cast["head"]["b"].dtype == jnp.bfloat16

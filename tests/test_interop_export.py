@@ -82,3 +82,32 @@ def test_save_pt_loads_back(tmp_path):
     back = convert_egohmr(sd, num_layers=cfg.gcn_layers,
                        resnet_layers=18)
     _assert_tree_equal(params, back)
+
+
+def test_save_npz_keeps_extra_metadata(tmp_path):
+    """The npz fallback must persist the `extra` dict (round-2 advisor
+    finding: it was silently dropped, so the same call wrote different
+    checkpoint contents depending on environment)."""
+    import json
+
+    import numpy as np
+
+    from egohmr_tpu.interop.torch_convert import load_torch_checkpoint
+
+    cfg = EgoHMRConfig(
+        resnet_layers=18, img_feat_dim=512, scene_feat_dim=64,
+        pointnet_hidden_dim=32, transl_embed_dim=16, timestep_embed_dim=32,
+        input_process_dim=32, gcn_hid_dim=64, gcn_layers=2,
+    )
+    params = init_egohmr(jax.random.PRNGKey(3), cfg)
+    path = str(tmp_path / "export.npz")
+    written = save_state_dict(export_egohmr(params), path,
+                              extra={"total_steps": 7, "note": "x"})
+    with np.load(written) as z:
+        assert json.loads(str(z["__extra_json__"])) == {
+            "total_steps": 7, "note": "x"}
+    # the reserved key must NOT leak into the state dict the converter sees
+    sd = load_torch_checkpoint(written)
+    assert "__extra_json__" not in sd
+    back = convert_egohmr(sd, num_layers=cfg.gcn_layers, resnet_layers=18)
+    _assert_tree_equal(params, back)
