@@ -2,9 +2,12 @@
 
 The 20k-point scene encoder (reference models/respointnet.py:33-58) is the
 dominant conditioning cost. The XLA path materializes every stage activation
-([B, 20000, 256] f32 = 1.3 GB at batch 64) in HBM between stages; the round-1
-per-stage kernel (nn/pointnet_pallas.py) still paid one HBM round trip per
-stage and measured slower than XLA's own fusions.
+([B, 20000, 256] f32 = 1.3 GB at batch 64) in HBM between stages. LESSON from
+the deleted round-1 experiment (nn/pointnet_pallas.py, one Pallas kernel PER
+STAGE — see git history): per-stage kernels still pay one HBM round trip per
+stage and measured SLOWER than XLA's own fusions; the only way past XLA here
+is keeping the whole network's activations VMEM-resident, which is what this
+kernel does.
 
 This kernel keeps the ENTIRE network per batch row resident in VMEM:
 

@@ -280,3 +280,80 @@ class TestGoldenSamplers:
             noise=jnp.asarray(x_T),
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
+
+
+@requires_reference
+class TestGoldenWarmStart:
+    """skip_timesteps/init_data warm start vs the reference loop
+    (gaussian_diffusion.py:480-487): the chain must start from
+    q_sample(init_data, t_start-1, noise) and run only the remaining
+    timesteps (round-2 verdict Missing #3)."""
+
+    def _ref(self, respacing):
+        import torch
+        from diffusion import gaussian_diffusion as gd
+        from diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+
+        betas = gd.get_named_beta_schedule("cosine", 50)
+        return SpacedDiffusion(
+            use_timesteps=ref_space(50, respacing), betas=betas,
+            rescale_timesteps=False, body_rep_mean=None, body_rep_std=None,
+        )
+
+    @pytest.mark.parametrize("with_init_data", [True, False])
+    def test_ddpm_warm_start_matches_zero_noise(self, rng, monkeypatch,
+                                                with_init_data):
+        import torch
+        from diffusion import gaussian_diffusion as gd
+
+        monkeypatch.setattr(gd.th, "randn_like",
+                            lambda x: torch.zeros_like(x))
+        ref = self._ref([50])
+        den = _LinearDenoiser(rng)
+        x_T = rng.randn(4, 16).astype(np.float32)
+        skip = 30
+        init = (rng.randn(4, 16).astype(np.float32) * 0.3
+                if with_init_data else None)
+        out = ref.p_sample_loop(
+            den.torch_model(), {}, (4, 16), noise=torch.from_numpy(x_T.copy()),
+            clip_denoised=False, device=torch.device("cpu"), progress=False,
+            skip_timesteps=skip,
+            init_data=None if init is None else torch.from_numpy(init.copy()),
+        )
+        want = out["sample"].numpy()
+
+        sched = make_schedule(50, "cosine", "")
+        zero_normal = lambda key, shape, dtype=jnp.float32: jnp.zeros(
+            shape, dtype)
+        monkeypatch.setattr(jax.random, "normal", zero_normal)
+        got, _ = sample_loop(
+            sched, den.jax_fn(), jax.random.PRNGKey(0), (4, 16),
+            sampler="ddpm", noise=jnp.asarray(x_T), skip_timesteps=skip,
+            init_data=None if init is None else jnp.asarray(init),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
+
+    def test_ddim_warm_start_matches(self, rng):
+        """DDIM eta=0 warm start is deterministic -> exact golden, including
+        the respaced-timestep indexing of the q_sample seed."""
+        import torch
+
+        ref = self._ref("ddim5")
+        den = _LinearDenoiser(rng)
+        x_T = rng.randn(4, 16).astype(np.float32)
+        init = rng.randn(4, 16).astype(np.float32) * 0.3
+        skip = 2  # of the 5 respaced steps
+        out = ref.ddim_sample_loop(
+            den.torch_model(), {}, (4, 16), noise=torch.from_numpy(x_T.copy()),
+            clip_denoised=False, device=torch.device("cpu"), eta=0.0,
+            skip_timesteps=skip, init_data=torch.from_numpy(init.copy()),
+        )
+        want = out["sample"].numpy()
+
+        sched = make_schedule(50, "cosine", "ddim5")
+        got, _ = sample_loop(
+            sched, den.jax_fn(), jax.random.PRNGKey(0), (4, 16),
+            sampler="ddim", noise=jnp.asarray(x_T), skip_timesteps=skip,
+            init_data=jnp.asarray(init),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)

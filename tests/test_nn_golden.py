@@ -428,29 +428,3 @@ class TestPointShardedPointNet:
         ))(params, pts)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
-
-
-class TestFusedPointNetKernel:
-    def test_interpret_mode_parity(self, rng):
-        """Pallas fused stages == XLA pointnet (interpret mode on CPU)."""
-        import jax
-        import jax.numpy as jnp
-        from jax.experimental import pallas as pl
-
-        import egohmr_tpu.nn.pointnet_pallas as pp
-        from egohmr_tpu.nn import init_pointnet, pointnet_forward
-
-        orig = pl.pallas_call
-        patched = lambda *a, **k: orig(*a, **{**k, "interpret": True})
-        pl.pallas_call, pp.pl.pallas_call = patched, patched
-        try:
-            params = init_pointnet(jax.random.PRNGKey(0), out_dim=32,
-                                   hidden_dim=128)
-            pts = jnp.asarray(rng.randn(2, 700, 3).astype(np.float32))
-            want = pointnet_forward(params, pts)
-            got = pp.pointnet_forward_fused(params, pts, block_p=256)
-            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                       rtol=1e-5, atol=1e-5)
-        finally:
-            pl.pallas_call = orig
-            pp.pl.pallas_call = orig
