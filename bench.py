@@ -28,9 +28,15 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--quick", action="store_true",
                     help="small model + batch (smoke test)")
+    ap.add_argument("--f32", action="store_true",
+                    help="run conditioning + denoiser in float32 (the "
+                         "DEFAULT is bfloat16 — MXU-native, gated by the "
+                         "full-pipeline envelope test "
+                         "tests/test_egohmr_model.py::"
+                         "test_sample_bodies_bf16_close_to_f32; sampler "
+                         "math, guidance and SMPL stay float32 either way)")
     ap.add_argument("--bf16", action="store_true",
-                    help="run conditioning + denoiser in bfloat16 (MXU-native);"
-                         " sampler math and SMPL stay float32")
+                    help=argparse.SUPPRESS)  # pre-round-3 alias of the default
     ap.add_argument("--pointnet", choices=["fused", "xla"], default="fused",
                     help="scene encoder: whole-network Pallas kernel (fused,"
                          " default) or plain XLA matmuls")
@@ -43,7 +49,20 @@ def main():
                     help="measure guided DDPM-50 (collision-score gradient "
                          "each low-noise step) at batch 16 instead of the "
                          "DDIM-5 headline")
+    ap.add_argument("--guided-ddim", action="store_true",
+                    help="measure guided DDIM-5 (reference "
+                         "ddim_sample_with_grad, eps shift at t<=3) at the "
+                         "headline batch 64 — the FAST guided product point")
+    ap.add_argument("--host", action="store_true",
+                    help="measure the HOST input pipeline (JPEG decode + "
+                         "crop-warp + normalize) on real-sized 1920x1080 "
+                         "frames: the threaded C++ path, the per-item "
+                         "PIL+native path the dataset uses, and the pure-"
+                         "python fallback — vs the device step budget")
     args = ap.parse_args()
+
+    if args.host:
+        return _host_bench(args)
 
     import jax
 
@@ -52,7 +71,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    if args.guided:
+    if args.guided or args.guided_ddim:
         return _guided_bench(args)
 
     import jax.numpy as jnp
@@ -88,7 +107,8 @@ def main():
     schedule = make_schedule(50, "cosine", "ddim5")
     batch = synthetic_batch(B, num_scene_points=P, img_size=img)
 
-    if args.bf16:
+    use_bf16 = not args.f32
+    if use_bf16:
         # BN leaves stay f32 and fold into the activation dtype at eval
         # (nn.core.batchnorm) — activations stay bf16 end-to-end
         from egohmr_tpu.nn.core import cast_params_bf16
@@ -102,7 +122,7 @@ def main():
 
     # ---------------- fused pipeline (ours): conditioning once, scan the GCN
     def fused(batch, key):
-        if args.bf16:
+        if use_bf16:
             batch = dict(batch)
             batch["img"] = batch["img"].astype(jnp.bfloat16)
             # scene stays f32; compute_condition casts the encoder input
@@ -110,7 +130,7 @@ def main():
         if S > 1:  # tile per-image conditioning across the S diverse samples
             cond = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, S, axis=0), cond)
-        if args.bf16:
+        if use_bf16:
             # sampler math stays f32; denoiser runs bf16
             raw = make_denoise_fn(nn_params, cfg, cond)
             denoise = lambda x, t: raw(x.astype(jnp.bfloat16), t).astype(
@@ -200,13 +220,13 @@ def main():
 
         def fused_paper(batch, key):
             # same dtype config as the headline `fused` (incl. --bf16)
-            if args.bf16:
+            if use_bf16:
                 batch = dict(batch)
                 batch["img"] = batch["img"].astype(jnp.bfloat16)
             cond, _ = compute_condition(nn_params, cfg, batch)
             cond = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, S5, axis=0), cond)
-            if args.bf16:
+            if use_bf16:
                 raw = make_denoise_fn(nn_params, cfg, cond)
                 denoise = lambda x, t: raw(
                     x.astype(jnp.bfloat16), t).astype(jnp.float32)
@@ -257,22 +277,29 @@ def main():
 
 
 def _guided_bench(args):
-    """Guided DDPM-50 throughput (reference test_egohmr.py with
-    --with_coap_grad: egohmr.py:517-605 + gaussian_diffusion.py:764-772)."""
+    """Collision-guided sampling throughput, two product points:
+
+    --guided       guided DDPM-50 at batch 16 (reference test_egohmr.py with
+                   --with_coap_grad: egohmr.py:517-605 +
+                   gaussian_diffusion.py:764-772) — the paper's setting;
+    --guided-ddim  guided DDIM-5 at the headline batch 64 (reference
+                   ddim_sample_with_grad, gaussian_diffusion.py:559-616:
+                   eps shift at t<=3) — the FAST guided mode.
+
+    Both run through the production eval path (eval.pipeline.sample_bodies),
+    so conditioning honors the bf16 default while guidance math, sampler and
+    SMPL stay f32 (sample_bodies contract).
+    """
     import jax
     import jax.numpy as jnp
 
     from egohmr_tpu.data.synthetic import synthetic_batch
-    from egohmr_tpu.diffusion import GuidanceConfig, make_schedule, sample_loop
-    from egohmr_tpu.models import (
-        BodyRepStats, EgoHMRConfig, compute_condition, init_egohmr,
-        make_guidance_fn, make_denoise_fn, model_outputs,
-    )
+    from egohmr_tpu.diffusion import GuidanceConfig, make_schedule
+    from egohmr_tpu.eval.pipeline import sample_bodies
+    from egohmr_tpu.models import BodyRepStats, EgoHMRConfig, init_egohmr
     from egohmr_tpu.smpl import make_synthetic_model
 
-    if args.bf16:
-        print("# --bf16 does not apply to --guided (guidance math is f32); "
-              "ignoring", file=sys.stderr)
+    use_bf16 = not args.f32
     if args.quick:
         cfg = EgoHMRConfig(
             img_feat_dim=128, backbone_type="stub", scene_feat_dim=64,
@@ -283,42 +310,50 @@ def _guided_bench(args):
         B, P, V = 4, 2048, 512
     else:
         cfg = EgoHMRConfig(pointnet_impl=args.pointnet)
-        B, P, V = (args.batch_size if args.batch_size != 64 else 16,
+        default_b = 64 if args.guided_ddim else 16
+        B, P, V = (args.batch_size if args.batch_size != 64 else default_b,
                    20000, 6890)
+    if args.guided_ddim:
+        sampler, respacing, tag = "ddim", "ddim5", "guided-ddim5"
+        metric = "guided_ddim5_samples_per_sec_per_chip"
+    else:
+        sampler, respacing, tag = "ddpm", "", "guided"
+        metric = "guided_ddpm50_samples_per_sec_per_chip"
     params = init_egohmr(jax.random.PRNGKey(0), cfg)
     stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
     smpl = make_synthetic_model(num_vertices=V)
-    schedule = make_schedule(50, "cosine", "")  # full DDPM-50
+    schedule = make_schedule(50, "cosine", respacing)
     batch = synthetic_batch(B, num_scene_points=P)
+    gcfg = GuidanceConfig(cond_grad_weight=2.0)
 
-    def guided(batch, key):
-        cond, _ = compute_condition(params, cfg, batch)
-        denoise = make_denoise_fn(params, cfg, cond)
-        guide = make_guidance_fn(params, cfg, smpl, cond, stats)
-        _, x0 = sample_loop(schedule, denoise, key, (B, 144), sampler="ddpm",
-                            guidance_fn=guide,
-                            guidance=GuidanceConfig(cond_grad_weight=2.0))
-        return model_outputs(cfg, smpl, cond, x0, stats)["pred_keypoints_3d"]
+    def guided(params, batch, key):
+        outs, _ = sample_bodies(
+            params, cfg, smpl, stats, schedule, batch, key, 1,
+            sampler=sampler, with_guidance=True, guidance=gcfg,
+            bf16=use_bf16)
+        return outs["pred_keypoints_3d"]
 
     jf = jax.jit(guided)
     t0 = time.time()
-    jax.block_until_ready(jf(batch, jax.random.PRNGKey(0)))
+    jax.block_until_ready(jf(params, batch, jax.random.PRNGKey(0)))
     compile_s = time.time() - t0
     lat = []
     for i in range(args.iters):
         t0 = time.time()
-        jax.block_until_ready(jf(batch, jax.random.PRNGKey(i + 1)))
+        jax.block_until_ready(jf(params, batch, jax.random.PRNGKey(i + 1)))
         lat.append(time.time() - t0)
     p50 = sorted(lat)[len(lat) // 2]
     n_pipe = max(2 * args.iters, 10)
     t0 = time.time()
-    outs = [jf(batch, jax.random.PRNGKey(100 + i)) for i in range(n_pipe)]
+    outs = [jf(params, batch, jax.random.PRNGKey(100 + i))
+            for i in range(n_pipe)]
     jax.block_until_ready(outs)
     dt = (time.time() - t0) / n_pipe
-    print(f"# guided: compile {compile_s:.1f}s, blocking p50 {p50*1e3:.1f}ms, "
-          f"pipelined {dt*1e3:.1f}ms/batch", file=sys.stderr)
+    print(f"# {tag}: compile {compile_s:.1f}s, blocking p50 {p50*1e3:.1f}ms, "
+          f"pipelined {dt*1e3:.1f}ms/batch -> {B/dt:.1f} bodies/s",
+          file=sys.stderr)
     print(json.dumps({
-        "metric": "guided_ddpm50_samples_per_sec_per_chip",
+        "metric": metric,
         "value": round(B / dt, 2),
         "unit": "samples/s",
         "vs_baseline": None,
@@ -327,7 +362,139 @@ def _guided_bench(args):
             "scene_points": P,
             "p50_latency_ms_per_batch": round(p50 * 1e3, 2),
             "cond_grad_weight": 2.0,
+            "sampler": f"{sampler}{schedule.num_timesteps}",
+            "conditioning_dtype": "bfloat16" if use_bf16 else "float32",
             "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+def _host_bench(args):
+    """Host input-pipeline throughput on real-shaped frames (round-2 verdict
+    Weak #5: training consumes ~198 imgs/s/chip on device — can the host
+    loader feed it?). Measures, in imgs/s:
+
+      * native_threaded — C++ decode+flip+warp+normalize, all threads
+        (egohmr_tpu.native.load_batch; the production loader path)
+      * pil_native      — PIL decode + native fused warp, sequential
+        (what EgoBodyDataset.__getitem__ does today, reference
+        egobody_dataset.py:241-277 / augmentation.py:330-521)
+      * pure_python     — PIL decode + scipy warp (the no-native fallback)
+
+    The JPEG corpus is synthesized at HoloLens PV size (1920x1080, quality
+    90, smooth scene-like content) so decode cost is realistic.
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from egohmr_tpu import native
+    from egohmr_tpu.data.augment import crop_transform, warp_affine
+
+    B = args.batch_size  # images per timed batch
+    N_IMGS = max(2 * B, 128)
+    rng = np.random.RandomState(0)
+
+    tmp = tempfile.mkdtemp(prefix="egohmr_hostbench_")
+    paths = []
+    # scene-like content: smooth gradients + soft blobs (noise JPEGs decode
+    # unrealistically slowly; flat ones unrealistically fast)
+    yy, xx = np.mgrid[0:1080, 0:1920].astype(np.float32)
+    base = (xx / 1920 * 120 + yy / 1080 * 80)
+    for i in range(N_IMGS):
+        img = base.copy()
+        for _ in range(6):
+            cx, cy = rng.uniform(0, 1920), rng.uniform(0, 1080)
+            r = rng.uniform(80, 400)
+            img += rng.uniform(20, 60) * np.exp(
+                -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r))
+        img3 = np.stack([img * s for s in (1.0, 0.9, 0.8)], axis=-1)
+        arr = np.clip(img3 + rng.randn(1080, 1920, 3) * 2, 0, 255
+                      ).astype(np.uint8)
+        p = os.path.join(tmp, f"{i:04d}.jpg")
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+
+    mean = (123.675, 116.28, 103.53)
+    std = (58.395, 57.12, 57.375)
+    out_size = 224
+
+    def rand_trans(n):
+        t = np.zeros((n, 2, 3), np.float32)
+        for i in range(n):
+            t[i] = crop_transform(
+                rng.uniform(600, 1300), rng.uniform(300, 800),
+                rng.uniform(200, 500), rng.uniform(200, 500),
+                out_size, out_size, 1.0, rng.uniform(-30, 30))
+        return t
+
+    def timed(fn, reps=3):
+        fn()  # warm (page cache, thread pool)
+        t0 = time.time()
+        n = 0
+        for _ in range(reps):
+            n += fn()
+        return n / (time.time() - t0)
+
+    results = {}
+    if native.available():
+        def run_native():
+            idx = rng.randint(0, N_IMGS, B)
+            out = native.load_batch(
+                [paths[i] for i in idx], rand_trans(B),
+                rng.rand(B) < 0.5, 1 + 0.2 * (rng.rand(B, 3) - 0.5),
+                mean, std, out_size)
+            assert out.shape == (B, out_size, out_size, 3)
+            return B
+        results["native_threaded"] = timed(run_native, reps=5)
+
+        def run_pil_native():
+            idx = rng.randint(0, N_IMGS, B)
+            t = rand_trans(B)
+            for j, i in enumerate(idx):
+                with Image.open(paths[i]) as im:
+                    arr = np.asarray(im.convert("RGB"))
+                native.warp_affine_norm(arr, t[j], out_size,
+                                        mean=mean, std=std)
+            return B
+        results["pil_native_sequential"] = timed(run_pil_native)
+
+    def run_pure():
+        idx = rng.randint(0, N_IMGS, max(B // 4, 1))  # it's slow; sample
+        t = rand_trans(len(idx))
+        for j, i in enumerate(idx):
+            with Image.open(paths[i]) as im:
+                arr = np.asarray(im.convert("RGB"))
+            patch = warp_affine(arr, t[j], out_size, out_size)
+            patch = patch.transpose(2, 0, 1)
+            for c in range(3):
+                patch[c] = (np.clip(patch[c], 0, 255) - mean[c]) / std[c]
+        return len(idx)
+    results["pure_python_fallback"] = timed(run_pure)
+
+    for p in paths:
+        os.unlink(p)
+    os.rmdir(tmp)
+
+    device_budget = 198.0  # imgs/s/chip: full train step, bs16, round-2
+    headline = results.get("native_threaded",
+                           results["pure_python_fallback"])
+    for k, v in results.items():
+        print(f"# host {k}: {v:.1f} imgs/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "host_pipeline_imgs_per_sec",
+        "value": round(headline, 1),
+        "unit": "imgs/s",
+        "vs_baseline": round(headline / device_budget, 2),
+        "extra": {
+            **{k: round(v, 1) for k, v in results.items()},
+            "device_train_budget_imgs_per_sec": device_budget,
+            "frame_size": "1920x1080 jpeg q90",
+            "batch_size": B,
+            "note": "vs_baseline = host rate / device consumption rate; "
+                    ">=1 means the loader is not the bottleneck",
         },
     }))
 

@@ -45,14 +45,20 @@ class OccupancyConfig:
     latent_dim: int = 64
     hidden_dim: int = 128
     num_layers: int = 4
+    # learned per-part identity code fed to the latent encoder (COAP keys its
+    # part networks by index; without this the encoder must infer "which part
+    # am I" from the bone transform alone — measurably unlearnable past ~0.87
+    # signed agreement). 0 keeps the round-2 tree layout (old artifacts).
+    part_embed_dim: int = 0
     # soft scale applied to the sdf -> occupancy label during distillation
     label_sharpness: float = 50.0
 
 
 def init_occupancy(key: Array, cfg: OccupancyConfig = OccupancyConfig()) -> dict:
-    ks = jax.random.split(key, cfg.num_layers + 3)
+    ks = jax.random.split(key, cfg.num_layers + 4)
     # per-part latent from the part's bone transform (12 numbers) + betas
-    enc_in = 12 + 10
+    # (+ the learned part code when enabled)
+    enc_in = 12 + 10 + cfg.part_embed_dim
     params = {
         "encoder": {
             "l0": linear_init(ks[0], enc_in, cfg.latent_dim),
@@ -60,6 +66,9 @@ def init_occupancy(key: Array, cfg: OccupancyConfig = OccupancyConfig()) -> dict
         },
         "decoder": [],
     }
+    if cfg.part_embed_dim:
+        params["part_embed"] = 0.1 * jax.random.normal(
+            ks[-1], (NUM_PARTS, cfg.part_embed_dim))
     in_dim = 3 + cfg.latent_dim
     for i in range(cfg.num_layers):
         out_dim = cfg.hidden_dim if i < cfg.num_layers - 1 else 1
@@ -121,10 +130,13 @@ def occupancy_query(
     rel = points[:, None, :, :] - trans[:, :, None, :]
     local = jnp.einsum("bkij,bkpi->bkpj", rot, rel)
 
-    # per-part latent from flattened bone transform + betas
-    feats = jnp.concatenate(
-        [rot.reshape(B, 24, 9), trans,
-         jnp.broadcast_to(betas[:, None, :], (B, 24, 10))], axis=-1)
+    # per-part latent from flattened bone transform + betas (+ part code)
+    enc_feats = [rot.reshape(B, 24, 9), trans,
+                 jnp.broadcast_to(betas[:, None, :], (B, 24, 10))]
+    if cfg.part_embed_dim:
+        enc_feats.append(jnp.broadcast_to(
+            params["part_embed"][None], (B, 24, cfg.part_embed_dim)))
+    feats = jnp.concatenate(enc_feats, axis=-1)
     h = relu(linear(params["encoder"]["l0"], feats))
     latent = linear(params["encoder"]["l1"], h)  # [B, 24, D]
 
@@ -203,8 +215,12 @@ def sample_labeled_batch(
     Returns (betas, smpl_out, points [B,P,3], sdf [B,P]).
 
     label_mode 'signed' uses the normal-signed SDF with the robust k-NN
-    sign vote (sign_k); 'proximity' uses unsigned distance < tau — the
-    right target for point clouds without trustworthy normals.
+    sign vote (sign_k); 'winding' uses the EXACT generalized-winding-number
+    inside test (the ground truth for a watertight mesh — near part overlaps
+    the normal vote mislabels ~12% of near-surface points, which caps any
+    distilled net's agreement; measured on make_synthetic_watertight_model);
+    'proximity' uses unsigned distance < tau — the right target for point
+    clouds without trustworthy normals.
     """
     k1, k2, k3, k4, k5 = jax.random.split(k, 5)
     betas = jax.random.normal(k1, (batch_bodies, 10)) * 0.5
@@ -228,11 +244,19 @@ def sample_labeled_batch(
         normals = vertex_normals(out.vertices, model.faces)
         sdf = signed_distance(pts, out.vertices, normals, block_size=512,
                               sign_k=sign_k)
-    else:  # proximity: inside = within tau of the surface point cloud
+    elif label_mode == "winding":
+        from .sdf import signed_distance_winding
+
+        sdf = signed_distance_winding(pts, out.vertices, model.faces,
+                                      block_size=512, face_block_size=1024)
+    elif label_mode == "proximity":
+        # proximity: inside = within tau of the surface point cloud
         from .sdf import nearest_vertex
 
         sdf = nearest_vertex(pts, out.vertices,
                              block_size=512).dist - proximity_tau
+    else:
+        raise ValueError(f"unknown label_mode: {label_mode}")
     return betas, out, pts, sdf
 
 
@@ -282,7 +306,9 @@ def distill_occupancy(
     import optax
 
     params = init_occupancy(key, cfg)
-    opt = optax.adam(lr)
+    # cosine decay to ~0: the late low-lr phase sharpens the decision
+    # boundary near the surface, worth several points of agreement
+    opt = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1)))
     opt_state = opt.init(params)
 
     @jax.jit

@@ -71,11 +71,13 @@ def parse_args(argv=None):
                    help="save body-overlay renders for the first batch "
                         "(reference test_egohmr.py:41-44)")
     p.add_argument("--output_render_root", type=str, default="output_render")
-    p.add_argument("--bf16", type=b, default=False,
+    p.add_argument("--bf16", type=b, default=True,
                    help="bfloat16 conditioning + denoiser (BN folded to the "
                         "activation dtype); sampler math, guidance, SMPL and "
-                        "metrics stay float32")
-    p.add_argument("--pointnet_impl", type=str, default="xla",
+                        "metrics stay float32. DEFAULT since round 3 (gated "
+                        "by the full-pipeline envelope test); pass false for "
+                        "the exact-f32 parity path")
+    p.add_argument("--pointnet_impl", type=str, default="fused",
                    choices=["xla", "fused"],
                    help="scene encoder: 'fused' = whole-network Pallas TPU "
                         "kernel (bf16 storage, ~2x faster; auto-falls back "

@@ -26,7 +26,7 @@ def parse_args(argv=None):
     p.add_argument("--smpl_model_path", type=str, default="data/smpl")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batch_size", type=int, default=10)
-    p.add_argument("--pointnet_impl", type=str, default="xla",
+    p.add_argument("--pointnet_impl", type=str, default="fused",
                    choices=["xla", "fused"],
                    help="scene encoder: fused Pallas TPU kernel or XLA")
     p.add_argument("--num_samples", type=int, default=5,

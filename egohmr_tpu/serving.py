@@ -82,7 +82,10 @@ class Predictor:
         sampler: str = "ddim",
         with_guidance: bool = False,
         guidance: GuidanceConfig = GuidanceConfig(),
-        bf16: bool = False,
+        # bfloat16 conditioning + denoiser by default (round-3 flip, gated by
+        # tests/test_egohmr_model.py::test_sample_bodies_bf16_close_to_f32);
+        # sampler math, guidance, SMPL and outputs stay float32
+        bf16: bool = True,
         mesh=None,
         max_inflight: int = 4,
         output_keys=_OUTPUT_KEYS,

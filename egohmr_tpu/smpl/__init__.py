@@ -1,6 +1,11 @@
 from . import constants
 from .model import SMPLModel, SMPLOutput, lbs, vertex_normals
-from .loader import create, load_smpl_pkl, make_synthetic_model
+from .loader import (
+    create,
+    load_smpl_pkl,
+    make_synthetic_model,
+    make_synthetic_watertight_model,
+)
 
 __all__ = [
     "constants",
@@ -11,4 +16,5 @@ __all__ = [
     "create",
     "load_smpl_pkl",
     "make_synthetic_model",
+    "make_synthetic_watertight_model",
 ]

@@ -30,6 +30,11 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="distill against the synthetic SMPL body (no SMPL "
                         ".pkl release needed; used for CI artifacts)")
+    p.add_argument("--synthetic_watertight", action="store_true",
+                   help="use the WATERTIGHT synthetic body (coherent outward "
+                        "normals) — the in-image target for signed labels; "
+                        "the plain synthetic body's random faces make "
+                        "normal-signed labels meaningless")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch_bodies", type=int, default=8)
     p.add_argument("--points_per_body", type=int, default=1024)
@@ -37,8 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--latent_dim", type=int, default=64)
     p.add_argument("--hidden_dim", type=int, default=128)
     p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--part_embed_dim", type=int, default=0,
+                   help="learned per-part identity code size (0 keeps the "
+                        "round-2 artifact layout)")
     p.add_argument("--label_mode", type=str, default="signed",
-                   choices=["signed", "proximity"])
+                   choices=["signed", "winding", "proximity"])
     p.add_argument("--sign_k", type=int, default=4,
                    help="k-NN normal vote for the SDF training labels "
                         "(robust near thin parts)")
@@ -69,17 +77,27 @@ def main(argv=None):
         distill_occupancy,
         occupancy_agreement,
     )
-    from ..smpl import create as smpl_create, make_synthetic_model
+    from ..smpl import (
+        create as smpl_create,
+        make_synthetic_model,
+        make_synthetic_watertight_model,
+    )
     from ..utils.checkpoint import save_npz
 
-    if args.synthetic:
+    if args.synthetic_watertight:
+        model = make_synthetic_watertight_model()
+        body = "synthetic_watertight"
+    elif args.synthetic:
         model = make_synthetic_model(num_vertices=6890)
+        body = "synthetic"
     else:
         model = smpl_create(args.smpl_model_path, args.gender)
+        body = args.gender
 
     cfg = OccupancyConfig(latent_dim=args.latent_dim,
                           hidden_dim=args.hidden_dim,
-                          num_layers=args.num_layers)
+                          num_layers=args.num_layers,
+                          part_embed_dim=args.part_embed_dim)
     key = jax.random.PRNGKey(args.seed)
     k_train, k_eval = jax.random.split(key)
 
@@ -91,13 +109,20 @@ def main(argv=None):
         log_every=args.log_every,
     )
 
-    # held-out accuracy vs the exact mesh SDF (fresh poses, fresh points)
-    acc = occupancy_agreement(
-        params, cfg, model, k_eval,
-        n_bodies=args.eval_bodies,
-        points_per_body=args.eval_points_per_body,
-        label_mode=args.label_mode, sign_k=args.sign_k,
-    )
+    # held-out accuracy vs the exact mesh SDF (fresh poses, fresh points),
+    # under BOTH label modes — the bar applies to the TRAINED mode, the other
+    # is recorded in the sidecar so no doc can quote a number without its
+    # label mode being on record (round-2 verdict Weak #2)
+    acc_by_mode = {
+        mode: occupancy_agreement(
+            params, cfg, model, k_eval,
+            n_bodies=args.eval_bodies,
+            points_per_body=args.eval_points_per_body,
+            label_mode=mode, sign_k=args.sign_k,
+        )
+        for mode in dict.fromkeys((args.label_mode, "signed", "proximity"))
+    }
+    acc = acc_by_mode[args.label_mode]
     passed = acc >= args.accuracy_bar
 
     save_path = args.save_path
@@ -109,15 +134,17 @@ def main(argv=None):
     save_npz(save_path, params)
     meta = {
         "accuracy": acc,
+        "accuracy_by_label_mode": acc_by_mode,
         "accuracy_bar": args.accuracy_bar,
         "passed": bool(passed),
-        "body": "synthetic" if args.synthetic else args.gender,
+        "body": body,
         "label_mode": args.label_mode,
         "sign_k": args.sign_k,
         "steps": args.steps,
         "occupancy_config": {"latent_dim": cfg.latent_dim,
                              "hidden_dim": cfg.hidden_dim,
-                             "num_layers": cfg.num_layers},
+                             "num_layers": cfg.num_layers,
+                             "part_embed_dim": cfg.part_embed_dim},
     }
     with open(save_path + ".json", "w") as f:
         json.dump(meta, f, indent=2)

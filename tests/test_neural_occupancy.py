@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from egohmr_tpu.collision.neural_occupancy import (
     OccupancyConfig,
@@ -134,9 +135,14 @@ def test_distill_cli_artifact_roundtrip(tmp_path):
     assert jax.tree_util.tree_structure(params) == t1
 
 
-def test_shipped_artifact_meets_accuracy_bar():
-    """The committed distilled artifact must hold its stated bar on freshly
-    sampled held-out poses (round-1 verdict Next #3 accuracy bar)."""
+@pytest.mark.parametrize("artifact", [
+    "occupancy_synthetic.npz",          # proximity labels, random-face body
+    "occupancy_synthetic_signed.npz",   # signed labels, watertight body
+])
+def test_shipped_artifact_meets_accuracy_bar(artifact):
+    """Every committed distilled artifact must hold its stated bar on freshly
+    sampled held-out poses, under the label mode it was trained for (round-1
+    verdict Next #3; round-2 Next #3 adds the signed-label artifact)."""
     import json
     import os
 
@@ -146,22 +152,27 @@ def test_shipped_artifact_meets_accuracy_bar():
         load_occupancy,
         occupancy_agreement,
     )
-    from egohmr_tpu.smpl import make_synthetic_model
+    from egohmr_tpu.smpl import (
+        make_synthetic_model,
+        make_synthetic_watertight_model,
+    )
 
     path = os.path.join(os.path.dirname(__file__), "..",
-                        "artifacts", "occupancy_synthetic.npz")
+                        "artifacts", artifact)
     if not os.path.exists(path):
-        import pytest
-
         pytest.skip("artifact not built")
     with open(path + ".json") as f:
         meta = json.load(f)
     assert meta["passed"], meta
     params, cfg = load_occupancy(path)
-    model = make_synthetic_model(num_vertices=6890)
+    if meta["body"] == "synthetic_watertight":
+        model = make_synthetic_watertight_model()
+    else:
+        model = make_synthetic_model(num_vertices=6890)
     acc = occupancy_agreement(
         params, cfg, model, jax.random.PRNGKey(123),
-        n_bodies=4, points_per_body=512, label_mode=meta["label_mode"])
+        n_bodies=4, points_per_body=512, label_mode=meta["label_mode"],
+        sign_k=meta.get("sign_k", 4))
     assert acc >= meta["accuracy_bar"] - 0.02, (acc, meta)
 
 
