@@ -493,8 +493,12 @@ def _host_bench(args):
             "device_train_budget_imgs_per_sec": device_budget,
             "frame_size": "1920x1080 jpeg q90",
             "batch_size": B,
+            "cpu_cores": os.cpu_count(),
             "note": "vs_baseline = host rate / device consumption rate; "
-                    ">=1 means the loader is not the bottleneck",
+                    ">=1 means the loader is not the bottleneck. "
+                    "native_threaded scales ~linearly with cores (decode "
+                    "dominates); a v5e host has ~14 cores per chip vs this "
+                    f"box's {os.cpu_count()}.",
         },
     }))
 

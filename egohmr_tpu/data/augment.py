@@ -163,7 +163,7 @@ def fliplr_smpl_params(smpl_params: Dict[str, np.ndarray]) -> Dict[str, np.ndarr
 
 
 def get_example(
-    img: np.ndarray,                # [H, W, 3] RGB uint8/float
+    img: Optional[np.ndarray],      # [H, W, 3] RGB uint8/float, or None
     center_x: float, center_y: float,
     width: float, height: float,
     keypoints_2d: np.ndarray,       # [25, 3] openpose + conf
@@ -175,41 +175,51 @@ def get_example(
     fx: float, cam_cx: float, cam_cy: float,
     scene_pcd_verts: np.ndarray,    # [P, 3]
     full_img_w: float = 1920.0, full_img_h: float = 1080.0,
+    img_shape: Optional[Tuple[int, int]] = None,  # (H, W) when img is None
 ) -> Dict[str, np.ndarray]:
     """Augment one example (reference get_example, augmentation.py:330-521).
 
     Returns the item dict; `transl_needs_recompute` flags that the caller
     must run `recompute_transl` (batched, on device) whenever augmentation
     was applied — replacing the reference's per-item torch SMPL forward.
+
+    With `img=None` (pass `img_shape`) the pixel work is SKIPPED and the
+    item instead carries the warp spec (`_warp_trans`, `_do_flip`,
+    `_color_scale`): the batch loader hands those to the threaded C++
+    decode+warp (`native.load_batch`), which is how the decode cost scales
+    across cores instead of serializing in this Python loop.
     """
-    img = np.asarray(img)
-    img_h, img_w = img.shape[:2]
+    if img is None:
+        assert img_shape is not None, "img=None needs img_shape=(H, W)"
+        img_h, img_w = img_shape
+    else:
+        img = np.asarray(img)
+        img_h, img_w = img.shape[:2]
     center_x = float(center_x) + width * aug.tx
     center_y = float(center_y) + height * aug.ty
 
-    work = img
-    cx_flip = center_x
-    if aug.do_flip:
-        work = work[:, ::-1]
-        cx_flip = img_w - center_x - 1
+    cx_flip = img_w - center_x - 1 if aug.do_flip else center_x
 
     trans = crop_transform(cx_flip, center_y, width, height,
                            patch_size, patch_size, aug.scale, aug.rot)
     patch = None
-    if work.dtype == np.uint8:
-        # native fused warp + jitter + normalize (C++, one pass)
-        from .. import native
+    if img is not None:
+        work = img[:, ::-1] if aug.do_flip else img
+        if work.dtype == np.uint8:
+            # native fused warp + jitter + normalize (C++, one pass)
+            from .. import native
 
-        patch = native.warp_affine_norm(
-            work, trans, patch_size, color_scale=aug.color_scale,
-            mean=mean, std=std, chw=True)
-    if patch is None:
-        patch = warp_affine(work, trans, patch_size, patch_size)
-        # color jitter + normalize, channel-first like the reference (:377-383)
-        patch = patch.transpose(2, 0, 1)
-        for c in range(3):
-            patch[c] = np.clip(patch[c] * aug.color_scale[c], 0, 255)
-            patch[c] = (patch[c] - mean[c]) / std[c]
+            patch = native.warp_affine_norm(
+                work, trans, patch_size, color_scale=aug.color_scale,
+                mean=mean, std=std, chw=True)
+        if patch is None:
+            patch = warp_affine(work, trans, patch_size, patch_size)
+            # color jitter + normalize, channel-first like the reference
+            # (:377-383)
+            patch = patch.transpose(2, 0, 1)
+            for c in range(3):
+                patch[c] = np.clip(patch[c] * aug.color_scale[c], 0, 255)
+                patch[c] = (patch[c] - mean[c]) / std[c]
 
     # 2d keypoints in the crop (:389-401)
     kp2d = keypoints_2d.copy()
@@ -267,8 +277,14 @@ def get_example(
 
     augmented = (aug.do_flip or aug.rot != 0 or aug.scale != 1.0
                  or aug.tx != 0 or aug.ty != 0)
+    out_img = (
+        {"img": patch.astype(np.float32)}                    # [3, S, S] CHW
+        if patch is not None else
+        {"_warp_trans": trans.astype(np.float32),            # [2, 3]
+         "_do_flip": np.bool_(aug.do_flip),
+         "_color_scale": np.asarray(aug.color_scale, np.float32)})
     return {
-        "img": patch.astype(np.float32),                     # [3, S, S] CHW
+        **out_img,
         "keypoints_2d": kp2d.astype(np.float32),
         "keypoints_2d_vis_mask": vis,
         "orig_keypoints_2d": kp2d_full.astype(np.float32),

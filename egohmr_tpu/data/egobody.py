@@ -60,6 +60,11 @@ class EgoBodyDataset:
     img_size: int = 224
     augment_config: AugmentConfig = field(default_factory=AugmentConfig)
     seed: int = 0
+    # batch-level threaded C++ decode+warp (native.load_batch) in
+    # iter_batches — the torch-DataLoader-workers equivalent (reference
+    # train_egohmr.py:95-103 uses num_workers=4); auto-falls back to the
+    # per-item Python path when the native lib is unavailable
+    use_native_loader: bool = True
 
     def __post_init__(self):
         data = np.load(self.dataset_file)
@@ -161,7 +166,17 @@ class EgoBodyDataset:
         with Image.open(path) as im:
             return np.asarray(im.convert("RGB"))
 
+    def _image_shape(self, path: str):
+        """(H, W) from the JPEG header only — no pixel decode."""
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return im.size[1], im.size[0]
+
     def __getitem__(self, idx: int) -> Dict:
+        return self._item(idx, decode_image=True)
+
+    def _item(self, idx: int, *, decode_image: bool) -> Dict:
         image_file = self.imgname[idx]
         k2h, h2p = self._transf_matrices_for(image_file, self.seq_names[idx])
         scene = self._load_scene(image_file, k2h, h2p)
@@ -178,16 +193,18 @@ class EgoBodyDataset:
         }
         bbox_size = float(self.scale[idx]) * 200.0
         item = get_example(
-            self._load_image(image_file),
+            self._load_image(image_file) if decode_image else None,
             float(self.center[idx][0]), float(self.center[idx][1]),
             bbox_size, bbox_size,
             self.keypoints_2d[idx], self.keypoints_3d[idx][:24],
             smpl_params, self.img_size, IMAGE_MEAN, IMAGE_STD, aug,
             float(self.fx[idx]), float(self.cx[idx]), float(self.cy[idx]),
             scene,
+            img_shape=None if decode_image else self._image_shape(image_file),
         )
-        # NCHW -> NHWC (TPU layout)
-        item["img"] = item["img"].transpose(1, 2, 0)
+        if decode_image:
+            # NCHW -> NHWC (TPU layout)
+            item["img"] = item["img"].transpose(1, 2, 0)
         item["imgname"] = image_file
         item["gender"] = self.gender[idx]
         item["fx"] = np.float32(self.fx[idx] / FX_NORM_COEFF)
@@ -201,8 +218,11 @@ class EgoBodyDataset:
 
     def iter_batches(
         self, batch_size: int, *, shuffle: Optional[bool] = None,
-        drop_last: bool = True, seed: int = 0,
+        drop_last: bool = True, seed: int = 0, num_threads: int = 0,
     ) -> Iterator[Dict]:
+        from .. import native
+
+        use_native = self.use_native_loader and native.available()
         order = np.arange(len(self))
         if shuffle is None:
             shuffle = self.train
@@ -211,7 +231,21 @@ class EgoBodyDataset:
         n = len(order) if not drop_last else len(order) - len(order) % batch_size
         for start in range(0, n, batch_size):
             idxs = order[start:start + batch_size]
-            yield collate([self[int(i)] for i in idxs])
+            if not use_native:
+                yield collate([self[int(i)] for i in idxs])
+                continue
+            # annotations on this thread, pixels on ALL cores: the items
+            # carry the warp spec, the C++ pool does decode+flip+warp+norm
+            # in one pass straight into the [N, S, S, 3] batch buffer
+            batch = collate([self._item(int(i), decode_image=False)
+                             for i in idxs])
+            imgs = native.load_batch(
+                [self.imgname[int(i)] for i in idxs],
+                batch.pop("_warp_trans"), batch.pop("_do_flip"),
+                batch.pop("_color_scale"), IMAGE_MEAN, IMAGE_STD,
+                self.img_size, num_threads=num_threads)
+            batch["img"] = imgs
+            yield batch
 
 
 def collate(items: List[Dict]) -> Dict:

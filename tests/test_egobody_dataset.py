@@ -208,3 +208,41 @@ def test_to_device_batch_drops_host_keys(egobody_root):
               "transf_holo2pv", "keypoints_2d_vis_mask"):
         assert k not in batch
     assert batch["img"].shape == (2, 224, 224, 3)
+
+
+def test_native_batch_loader_matches_python_path(egobody_root):
+    """iter_batches' threaded C++ decode+warp path must produce the same
+    batches as the per-item Python path (PIL decode + same warp kernel) —
+    including under augmentation (flip/rot/scale/jitter). Only the JPEG
+    decoder differs (system libjpeg vs PIL's), so images get a 2-pixel-level
+    tolerance; every other key must match exactly."""
+    from egohmr_tpu import native
+    from egohmr_tpu.data.egobody import EgoBodyDataset
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib not built")
+
+    def make(use_native):
+        return EgoBodyDataset(
+            dataset_file=os.path.join(egobody_root, "annotations.npz"),
+            data_root=egobody_root, split="test", train=True,
+            do_augment=True, scene_type="cube", seed=11,
+            use_native_loader=use_native,
+        )
+
+    b_nat = next(make(True).iter_batches(4, shuffle=False))
+    b_py = next(make(False).iter_batches(4, shuffle=False))
+    assert b_nat["img"].shape == b_py["img"].shape == (4, 224, 224, 3)
+    # std is ~57/255-scaled, so 2 decoder-rounding pixel levels ~= 0.035
+    np.testing.assert_allclose(b_nat["img"], b_py["img"], atol=0.04)
+    for k in b_py:
+        if k in ("img", "imgname"):
+            continue
+        if isinstance(b_py[k], dict):
+            for kk in b_py[k]:
+                np.testing.assert_array_equal(
+                    b_nat[k][kk], b_py[k][kk], err_msg=f"{k}.{kk}")
+        else:
+            np.testing.assert_array_equal(b_nat[k], b_py[k], err_msg=k)
