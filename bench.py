@@ -178,27 +178,39 @@ def main():
     def time_fn(fn, tag, jit=True, n_bodies=NB):
         """Returns (throughput samples/s, blocking p50 latency).
 
-        Throughput is measured PIPELINED: all iterations are submitted
-        back-to-back and synchronized once at the end, the steady-state
-        serving pattern (JAX dispatch is async, so the host-side dispatch /
-        tunnel round-trip overlaps device compute of the previous batch).
-        Latency is the honest blocking p50 of a single batch.
+        MEASUREMENT RULE 2 (CLAUDE.md): under the axon tunnel,
+        block_until_ready can return BEFORE device completion, silently
+        turning a timing into a dispatch-rate measurement. Completion is
+        therefore forced by DOWNLOADING a scalar reduce of the LAST output
+        (single device => FIFO execution, so the last program completing
+        implies all did), and steady-state throughput is the DIFFERENCE of
+        two chain lengths, which also cancels the fixed download/dispatch
+        cost: dt = (t(N2) - t(N1)) / (N2 - N1).
+
+        Latency is the p50 of dispatch -> forced-completion download of one
+        batch (includes one ~25-40 ms tunnel round trip — honest for a
+        remote client, pessimistic on a local TPU VM).
         """
         jf = jax.jit(fn) if jit else fn
-        t0 = time.time()
-        jf(batch, jax.random.PRNGKey(0)).block_until_ready()
-        compile_s = time.time() - t0
-        times = []
-        for i in range(args.iters):
+
+        def chain(n, key0):
             t0 = time.time()
-            jf(batch, jax.random.PRNGKey(i + 1)).block_until_ready()
-            times.append(time.time() - t0)
-        lat = sorted(times)[len(times) // 2]  # median = honest p50
-        n_pipe = max(3 * args.iters, 10)
+            out = None
+            for i in range(n):
+                out = jf(batch, jax.random.PRNGKey(key0 + i))
+            float(jnp.sum(out))  # scalar download = completion fence
+            return time.time() - t0
+
         t0 = time.time()
-        outs = [jf(batch, jax.random.PRNGKey(100 + i)) for i in range(n_pipe)]
-        jax.block_until_ready(outs)
-        dt = (time.time() - t0) / n_pipe
+        chain(1, 0)
+        compile_s = time.time() - t0
+        times = [chain(1, i + 1) for i in range(args.iters)]
+        lat = sorted(times)[len(times) // 2]  # median = honest p50
+        n1 = max(args.iters, 3)
+        n2 = 3 * n1
+        d1 = min(chain(n1, 100), chain(n1, 200))
+        d2 = min(chain(n2, 300), chain(n2, 400))
+        dt = max(d2 - d1, 1e-9) / (n2 - n1)
         print(f"# {tag}: compile {compile_s:.1f}s, blocking p50 {lat*1e3:.1f}ms"
               f", pipelined {dt*1e3:.1f}ms/batch -> {n_bodies/dt:.1f} samples/s",
               file=sys.stderr)
@@ -242,12 +254,18 @@ def main():
                                  stats)["pred_keypoints_3d"]
 
         jf = jax.jit(fused_paper)
-        jf(batch5, jax.random.PRNGKey(0)).block_until_ready()
-        n_pipe = max(3 * args.iters, 10)
-        t0 = time.time()
-        outs = [jf(batch5, jax.random.PRNGKey(i + 1)) for i in range(n_pipe)]
-        jax.block_until_ready(outs)
-        dt5 = (time.time() - t0) / n_pipe
+
+        def chain5(n, key0):
+            t0 = time.time()
+            out = None
+            for i in range(n):
+                out = jf(batch5, jax.random.PRNGKey(key0 + i))
+            float(jnp.sum(out))  # completion fence (MEASUREMENT RULE 2)
+            return time.time() - t0
+
+        chain5(1, 0)
+        n1 = max(args.iters, 3)
+        dt5 = max(chain5(3 * n1, 100) - chain5(n1, 500), 1e-9) / (2 * n1)
         paper_sps = B5 * S5 / dt5
         print(f"# paper setting (32 imgs x 5 samples): pipelined "
               f"{dt5*1e3:.1f}ms/batch -> {paper_sps:.1f} samples/s",
@@ -334,21 +352,26 @@ def _guided_bench(args):
         return outs["pred_keypoints_3d"]
 
     jf = jax.jit(guided)
-    t0 = time.time()
-    jax.block_until_ready(jf(params, batch, jax.random.PRNGKey(0)))
-    compile_s = time.time() - t0
-    lat = []
-    for i in range(args.iters):
+
+    def chain(n, key0):
+        """Dispatch n batches, then force completion by downloading a scalar
+        (MEASUREMENT RULE 2: block_until_ready can lie under axon)."""
         t0 = time.time()
-        jax.block_until_ready(jf(params, batch, jax.random.PRNGKey(i + 1)))
-        lat.append(time.time() - t0)
-    p50 = sorted(lat)[len(lat) // 2]
-    n_pipe = max(2 * args.iters, 10)
+        out = None
+        for i in range(n):
+            out = jf(params, batch, jax.random.PRNGKey(key0 + i))
+        float(jnp.sum(out))
+        return time.time() - t0
+
     t0 = time.time()
-    outs = [jf(params, batch, jax.random.PRNGKey(100 + i))
-            for i in range(n_pipe)]
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / n_pipe
+    chain(1, 0)
+    compile_s = time.time() - t0
+    lat = [chain(1, i + 1) for i in range(args.iters)]
+    p50 = sorted(lat)[len(lat) // 2]
+    n1 = max(args.iters, 3)
+    d1 = min(chain(n1, 100), chain(n1, 200))
+    d2 = min(chain(3 * n1, 300), chain(3 * n1, 400))
+    dt = max(d2 - d1, 1e-9) / (2 * n1)
     print(f"# {tag}: compile {compile_s:.1f}s, blocking p50 {p50*1e3:.1f}ms, "
           f"pipelined {dt*1e3:.1f}ms/batch -> {B/dt:.1f} bodies/s",
           file=sys.stderr)

@@ -414,6 +414,7 @@ def make_guidance_fn(
     *,
     sdf_block_size: int = 2048,
     max_scene_points: Optional[int] = 4096,
+    per_step_points: Optional[int] = 1024,
 ):
     """Collision-score gradient w.r.t. x_t (reference guide_coll,
     egohmr.py:517-605), batched with static shapes.
@@ -431,10 +432,23 @@ def make_guidance_fn(
     of them are dropped — comparable lossiness to the reference, which
     RANDOMLY subsamples its bbox crop past 4000 points. Raise K (or pass
     None to disable) to trade SDF cost for coverage.
+
+    `per_step_points`: second-stage cap INSIDE each guided step — the K2
+    points nearest the CURRENT posed body's bbox (`topk_scene_points_near_
+    body`). The loss only scores bbox-masked points, so this is EXACT
+    whenever the bbox point count fits in K2 (every bbox point ranks before
+    any outside point); it cuts the per-step nearest-vertex argmin — the
+    dominant guided-step cost (profiled: 2.1 of 3.2 ms at K=4096, B=16) —
+    by K/K2. None disables.
+
+    TPU notes baked in here: `normals` are stop-gradient'd because they only
+    enter through sign() (zero gradient), so their backward subgraph —
+    incidence gathers + cross products — is dead weight XLA cannot prove
+    away; the true gradient is identical.
     """
     scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]  # [1,24,1]
     betas = jax.lax.stop_gradient(cond.pred_betas)
-    from ..collision.sdf import topk_scene_points
+    from ..collision.sdf import topk_scene_points, topk_scene_points_near_body
 
     scene = topk_scene_points(
         jax.lax.stop_gradient(cond.scene_pcd), max_scene_points)
@@ -443,9 +457,14 @@ def make_guidance_fn(
         pose6d = x_t * stats.std + stats.mean
         rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
         out = lbs(smpl_model, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
-        normals = vertex_normals(out.vertices, smpl_model.faces)
-        mask = bbox_mask(scene, jax.lax.stop_gradient(out.vertices))
-        sdf = signed_distance(scene, out.vertices, normals,
+        verts_sg = jax.lax.stop_gradient(out.vertices)
+        normals = jax.lax.stop_gradient(
+            vertex_normals(verts_sg, smpl_model.faces))
+        pts = scene
+        if per_step_points is not None and per_step_points < scene.shape[1]:
+            pts = topk_scene_points_near_body(scene, verts_sg, per_step_points)
+        mask = bbox_mask(pts, verts_sg)
+        sdf = signed_distance(pts, out.vertices, normals,
                               block_size=sdf_block_size)
         loss = collision_loss(sdf, mask.astype(sdf.dtype))  # [B]
         return -jnp.mean(loss)

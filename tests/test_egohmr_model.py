@@ -220,3 +220,23 @@ def test_cast_params_bf16_detects_bn_structurally():
     assert cast["layers"][0]["w"].dtype == jnp.bfloat16
     assert cast["layers"][0]["b"].dtype == jnp.bfloat16
     assert cast["head"]["b"].dtype == jnp.bfloat16
+
+
+def test_guidance_per_step_cap_exact(setup):
+    """The per-step bbox-ranked point cap must not change the guidance
+    gradient at all when the bbox point count fits in K2 (the exactness
+    contract of topk_scene_points_near_body): the loss only scores
+    bbox-masked points, and every bbox point ranks before any outside one."""
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    g_full = make_guidance_fn(params, cfg, smpl, cond, stats,
+                              sdf_block_size=256, per_step_points=None)
+    g_cap = make_guidance_fn(params, cfg, smpl, cond, stats,
+                             sdf_block_size=256, per_step_points=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 144)) * 0.3
+    t = jnp.zeros((2,), jnp.int32)
+    a = np.asarray(g_full(x, t))
+    b = np.asarray(g_cap(x, t))
+    # the synthetic scene is a sparse room shell: far fewer than 64 points
+    # sit inside the posed body bbox, so the cap is exact (not just close)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
