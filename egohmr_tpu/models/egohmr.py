@@ -441,14 +441,28 @@ def make_guidance_fn(
     dominant guided-step cost (profiled: 2.1 of 3.2 ms at K=4096, B=16) —
     by K/K2. None disables.
 
-    TPU notes baked in here: `normals` are stop-gradient'd because they only
-    enter through sign() (zero gradient), so their backward subgraph —
-    incidence gathers + cross products — is dead weight XLA cannot prove
-    away; the true gradient is identical.
+    TPU notes baked in here:
+
+    * `normals` are computed from stop-gradient inputs because they only
+      enter through sign() (zero gradient) — their backward subgraph
+      (incidence gathers + cross products) is dead weight XLA cannot prove
+      away; the true gradient is identical.
+    * the BACKWARD runs through `lbs_apply_select`: only the per-point
+      nearest vertices are re-posed differentiably, so the gradient is
+      gathers-on-constants + matmuls over K2 points — no [B,K2]→[B,V,3]
+      scatter (serial on TPU) and no V-sized skinning backward. Exact: the
+      argmin index and the inside/outside sign are piecewise-constant in
+      x_t, so differentiating only the selected-vertex distance IS the
+      full gradient (tests pin it against the straightforward formulation).
     """
     scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]  # [1,24,1]
     betas = jax.lax.stop_gradient(cond.pred_betas)
-    from ..collision.sdf import topk_scene_points, topk_scene_points_near_body
+    from ..collision.sdf import (
+        nearest_vertex,
+        topk_scene_points,
+        topk_scene_points_near_body,
+    )
+    from ..smpl.model import lbs_apply_select, lbs_transforms
 
     scene = topk_scene_points(
         jax.lax.stop_gradient(cond.scene_pcd), max_scene_points)
@@ -456,16 +470,27 @@ def make_guidance_fn(
     def neg_collision(x_t: Array) -> Array:
         pose6d = x_t * stats.std + stats.mean
         rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
-        out = lbs(smpl_model, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
-        verts_sg = jax.lax.stop_gradient(out.vertices)
-        normals = jax.lax.stop_gradient(
-            vertex_normals(verts_sg, smpl_model.faces))
+
+        # ---- gradient-free full pass: posed mesh -> selection/sign/mask
+        rotmat_sg = jax.lax.stop_gradient(rotmat)
+        out = lbs(smpl_model, betas, rotmat_sg[:, :1], rotmat_sg[:, 1:],
+                  pose2rot=False)
+        verts_sg = out.vertices
+        normals = vertex_normals(verts_sg, smpl_model.faces)
         pts = scene
         if per_step_points is not None and per_step_points < scene.shape[1]:
             pts = topk_scene_points_near_body(scene, verts_sg, per_step_points)
         mask = bbox_mask(pts, verts_sg)
-        sdf = signed_distance(pts, out.vertices, normals,
-                              block_size=sdf_block_size)
+        nn = nearest_vertex(pts, verts_sg, block_size=sdf_block_size)
+        n_sel = jnp.take_along_axis(normals, nn.idx[..., None], axis=1)
+        v_sel_sg = jnp.take_along_axis(verts_sg, nn.idx[..., None], axis=1)
+        sign = jnp.sign(jnp.sum((pts - v_sel_sg) * n_sel, axis=-1))
+        sign = jnp.where(sign == 0, 1.0, sign)
+
+        # ---- differentiable selective pass: re-pose ONLY the selected verts
+        _, pf, _, rel = lbs_transforms(smpl_model, betas, rotmat)
+        v_near = lbs_apply_select(smpl_model, betas, pf, rel, nn.idx)
+        sdf = sign * jnp.linalg.norm(pts - v_near, axis=-1)
         loss = collision_loss(sdf, mask.astype(sdf.dtype))  # [B]
         return -jnp.mean(loss)
 

@@ -15,7 +15,7 @@ layout the reference's `smpl_to_openpose` indexing assumes
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +92,36 @@ def _rigid_transform(rot_mats: Array, joints: Array, parents: np.ndarray):
     return posed_joints, rel
 
 
+def lbs_transforms(
+    model: SMPLModel, betas: Array, rot_mats: Array
+) -> Tuple[Array, Array, Array, Array]:
+    """The pose-dependent core shared by full and selective skinning.
+
+    rot_mats: [B, 24, 3, 3]. Returns (v_shaped [B,V,3], pose_feature [B,207],
+    posed_joints [B,24,3], rel_transforms [B,24,4,4]).
+    """
+    B = betas.shape[0]
+    # 1. shape blendshapes:  v_shaped = T + S·β
+    blend = jnp.einsum(
+        "bl,vcl->bvc", betas, model.shapedirs, precision="highest"
+    )
+    v_shaped = model.v_template[None] + blend  # [B, V, 3]
+
+    # 2. rest joints
+    joints_rest = jnp.einsum(
+        "jv,bvc->bjc", model.j_regressor, v_shaped, precision="highest"
+    )  # [B, 24, 3]
+
+    # 3. pose feature from the 23 non-root rotations
+    ident = jnp.eye(3, dtype=rot_mats.dtype)
+    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, 207]
+
+    # 4. forward kinematics
+    parents = np.asarray(C.PARENTS)
+    posed_joints, rel_transforms = _rigid_transform(rot_mats, joints_rest, parents)
+    return v_shaped, pose_feature, posed_joints, rel_transforms
+
+
 def lbs(
     model: SMPLModel,
     betas: Array,
@@ -120,28 +150,15 @@ def lbs(
             axis=1,
         )
 
-    # 1. shape blendshapes:  v_shaped = T + S·β
-    blend = jnp.einsum(
-        "bl,vcl->bvc", betas, model.shapedirs, precision="highest"
+    v_shaped, pose_feature, posed_joints, rel_transforms = lbs_transforms(
+        model, betas, rot_mats
     )
-    v_shaped = model.v_template[None] + blend  # [B, V, 3]
 
-    # 2. rest joints
-    joints_rest = jnp.einsum(
-        "jv,bvc->bjc", model.j_regressor, v_shaped, precision="highest"
-    )  # [B, 24, 3]
-
-    # 3. pose blendshapes from the 23 non-root rotations
-    ident = jnp.eye(3, dtype=rot_mats.dtype)
-    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, 207]
+    # pose blendshape offsets over the full mesh
     pose_offsets = jnp.matmul(
         pose_feature, model.posedirs, precision="highest"
     ).reshape(B, -1, 3)
     v_posed = v_shaped + pose_offsets
-
-    # 4. forward kinematics
-    parents = np.asarray(C.PARENTS)
-    posed_joints, rel_transforms = _rigid_transform(rot_mats, joints_rest, parents)
 
     # 5. skinning:  T = W · A
     T = jnp.einsum(
@@ -166,6 +183,64 @@ def lbs(
         full_pose=rot_mats,
         joints_smpl=posed_joints,
     )
+
+
+def lbs_apply_select(
+    model: SMPLModel,
+    betas: Array,
+    pose_feature: Array,
+    rel_transforms: Array,
+    idx: Array,
+    *,
+    pose_chunk: int = 256,
+) -> Array:
+    """Pose ONLY the template vertices `idx` [B, K] (duplicates allowed).
+
+    Exactly the math of `lbs(...).vertices[b, idx[b]]`, but every gather is
+    from a CONSTANT table (v_template/shapedirs/posedirs/lbs_weights at
+    stop-gradient indices), so the BACKWARD is gathers + matmuls over K —
+    no [B, K]→[B, V, 3] scatter and no V-sized skinning backward. This is
+    the TPU-native shape for loss terms that touch a few vertices per point
+    (collision guidance: the nearest-vertex distance); scatter on TPU
+    serializes, and the full-mesh skinning backward costs V/K times the work.
+
+    `pose_chunk` bounds the [B, chunk, 3, 207] gathered posedirs buffer
+    (40 MB at B=64, chunk=256).
+    """
+    B, K = idx.shape
+    idx = jax.lax.stop_gradient(idx)
+
+    # selected template + shape blendshapes
+    vt_sel = model.v_template[idx]                          # [B, K, 3]
+    sd_sel = model.shapedirs[idx]                           # [B, K, 3, L]
+    v_shaped_sel = vt_sel + jnp.einsum(
+        "bl,bkcl->bkc", betas, sd_sel, precision="highest")
+
+    # selected pose blendshape offsets, chunked over K to bound the gather
+    pd_v = jnp.swapaxes(model.posedirs, 0, 1).reshape(      # [V, 3, 207]
+        model.num_vertices, 3, pose_feature.shape[-1])
+    pad = (-K) % pose_chunk
+    idx_p = jnp.pad(idx, ((0, 0), (0, pad)))
+    nc = idx_p.shape[1] // pose_chunk
+    idx_c = jnp.swapaxes(idx_p.reshape(B, nc, pose_chunk), 0, 1)
+
+    def one_chunk(ic):                                      # ic: [B, chunk]
+        sel = pd_v[ic]                                      # [B, chunk, 3, F]
+        return jnp.einsum("bf,bkcf->bkc", pose_feature, sel,
+                          precision="highest")
+
+    offs = jax.lax.map(one_chunk, idx_c)                    # [nc, B, chunk, 3]
+    pose_offsets_sel = jnp.swapaxes(offs, 0, 1).reshape(B, -1, 3)[:, :K]
+    v_posed_sel = v_shaped_sel + pose_offsets_sel
+
+    # selected skinning: T_sel = W[idx] · A
+    w_sel = model.lbs_weights[idx]                          # [B, K, 24]
+    t_sel = jnp.einsum("bkw,bwij->bkij", w_sel, rel_transforms,
+                       precision="highest")                 # [B, K, 4, 4]
+    v_hom = jnp.concatenate(
+        [v_posed_sel, jnp.ones_like(v_posed_sel[..., :1])], axis=-1)
+    return jnp.einsum("bkij,bkj->bki", t_sel, v_hom,
+                      precision="highest")[..., :3]
 
 
 _INCIDENCE_CACHE: dict = {}

@@ -240,3 +240,40 @@ def test_guidance_per_step_cap_exact(setup):
     # the synthetic scene is a sparse room shell: far fewer than 64 points
     # sit inside the posed body bbox, so the cap is exact (not just close)
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_guidance_selective_backward_matches_straightforward(setup):
+    """The scatter-free guidance (selective LBS re-pose of the nearest
+    vertices) must produce the same gradient as differentiating the
+    straightforward formulation (full LBS + signed_distance + mask), up to
+    fp reassociation: the argmin index and the sign are piecewise-constant
+    in x_t, so both define the same function almost everywhere."""
+    from egohmr_tpu.collision import bbox_mask, collision_loss, signed_distance
+    from egohmr_tpu.geometry import rot6d_to_rotmat
+    from egohmr_tpu.smpl import lbs, vertex_normals
+
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    guide = make_guidance_fn(params, cfg, smpl, cond, stats,
+                             sdf_block_size=256, per_step_points=None,
+                             max_scene_points=None)
+
+    betas = jax.lax.stop_gradient(cond.pred_betas)
+    scene = jax.lax.stop_gradient(cond.scene_pcd)
+    from egohmr_tpu.models.egohmr import _GUIDE_JOINT_SCALE
+
+    def straightforward(x_t):
+        pose6d = x_t * stats.std + stats.mean
+        rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
+        out = lbs(smpl, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
+        normals = vertex_normals(out.vertices, smpl.faces)
+        mask = bbox_mask(scene, jax.lax.stop_gradient(out.vertices))
+        sdf = signed_distance(scene, out.vertices, normals, block_size=256)
+        return -jnp.mean(collision_loss(sdf, mask.astype(sdf.dtype)))
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 144)) * 0.3
+    want = np.asarray(jax.grad(straightforward)(x)).reshape(2, 24, 6)
+    want = want * _GUIDE_JOINT_SCALE[None, :, None]
+    got = np.asarray(guide(x, jnp.zeros((2,), jnp.int32))).reshape(2, 24, 6)
+    np.testing.assert_allclose(got, want.reshape(2, 24, 6), rtol=1e-4,
+                               atol=1e-6)

@@ -161,3 +161,39 @@ def test_joint_adjacency_matches_reference_construction():
         deg[b] += 1
     offdiag = adj - np.eye(24)
     np.testing.assert_allclose(offdiag.sum(1), deg * (1.0 / deg), atol=1e-6)
+
+
+def test_lbs_apply_select_matches_full_gather(rng):
+    """Selective skinning (the scatter-free guidance backward path) must
+    reproduce lbs().vertices at the selected indices exactly — duplicates
+    and a K not divisible by pose_chunk included."""
+    import jax
+    import jax.numpy as jnp
+
+    from egohmr_tpu.geometry import aa_to_rotmat
+    from egohmr_tpu.smpl import lbs, make_synthetic_model
+    from egohmr_tpu.smpl.model import lbs_apply_select, lbs_transforms
+
+    model = make_synthetic_model(num_vertices=300)
+    B, K = 3, 37  # K % pose_chunk != 0 exercises the padding path
+    betas = jnp.asarray(rng.randn(B, 10).astype(np.float32) * 0.5)
+    aa = rng.randn(B, 24, 3).astype(np.float32) * 0.3
+    rotmat = aa_to_rotmat(jnp.asarray(aa).reshape(-1, 3)).reshape(B, 24, 3, 3)
+    idx = jnp.asarray(rng.randint(0, 300, size=(B, K)))
+    idx = idx.at[:, :5].set(idx[:, 5:10])  # force duplicates
+
+    out = lbs(model, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
+    want = jnp.take_along_axis(out.vertices, idx[..., None], axis=1)
+
+    _, pf, _, rel = lbs_transforms(model, betas, rotmat)
+    got = lbs_apply_select(model, betas, pf, rel, idx, pose_chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # the backward must exist and be scatter-free in spirit: finite grads
+    def f(r):
+        _, pf2, _, rel2 = lbs_transforms(model, betas, r)
+        return jnp.sum(lbs_apply_select(model, betas, pf2, rel2, idx) ** 2)
+
+    g = jax.grad(f)(rotmat)
+    assert np.isfinite(np.asarray(g)).all()
