@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,9 +56,10 @@ def _ddpm_step(
     denoise_fn: DenoiseFn,
     guidance_fn: Optional[GuidanceFn],
     gcfg: GuidanceConfig,
+    collect: bool,
     carry: Tuple[Array, Array],
     t_idx: Array,
-) -> Tuple[Tuple[Array, Array], None]:
+):
     x, key = carry
     bs = x.shape[0]
     t = jnp.full((bs,), t_idx, dtype=jnp.int32)
@@ -87,7 +88,7 @@ def _ddpm_step(
     nonzero = (t_idx != 0).astype(x.dtype)
     sigma = jnp.exp(0.5 * schedule.posterior_log_variance_clipped[t])[:, None]
     sample = mean + nonzero * sigma * noise
-    return (sample, key), None
+    return (sample, key), (sample if collect else None)
 
 
 def _ddim_step(
@@ -96,9 +97,10 @@ def _ddim_step(
     guidance_fn: Optional[GuidanceFn],
     gcfg: GuidanceConfig,
     eta: float,
+    collect: bool,
     carry: Tuple[Array, Array],
     t_idx: Array,
-) -> Tuple[Tuple[Array, Array], None]:
+):
     x, key = carry
     bs = x.shape[0]
     t = jnp.full((bs,), t_idx, dtype=jnp.int32)
@@ -136,7 +138,7 @@ def _ddim_step(
     noise = jax.random.normal(sub, x.shape, x.dtype)
     nonzero = (t_idx != 0).astype(x.dtype)
     sample = mean_pred + nonzero * sigma * noise
-    return (sample, key), None
+    return (sample, key), (sample if collect else None)
 
 
 def sample_loop(
@@ -152,7 +154,8 @@ def sample_loop(
     noise: Optional[Array] = None,
     skip_timesteps: int = 0,
     init_data: Optional[Array] = None,
-) -> Tuple[Array, Array]:
+    dump_steps: Optional[Sequence[int]] = None,
+):
     """Run the full reverse diffusion; returns (final_sample, final_pred_xstart).
 
     Equivalent of reference p_sample_loop / ddim_sample_loop
@@ -161,6 +164,13 @@ def sample_loop(
     `pred_xstart` equals the final sample's denoised estimate at t=0 — as in
     the reference, at t=0 the posterior mean IS pred_xstart, so we return the
     last sample and re-derive nothing.
+
+    `dump_steps` (reference :442-446): 0-based loop-iteration indices
+    (0 = the noisiest step) whose post-step samples to also return. The scan
+    stacks every step's sample and the requested rows are gathered outside —
+    one compiled program, unlike the reference's per-step host copies. With
+    it, returns (final_sample, final_pred_xstart, dumps [K, B, D]); the
+    reference returns only the dump list.
     """
     key, sub = jax.random.split(key)
     x = jax.random.normal(sub, shape) if noise is None else noise
@@ -174,14 +184,20 @@ def sample_loop(
         t0 = jnp.full((shape[0],), t_start - 1, dtype=jnp.int32)
         x = q_sample(schedule, init_data, t0, x)
 
+    collect = dump_steps is not None
     if sampler == "ddpm":
-        step = partial(_ddpm_step, schedule, denoise_fn, guidance_fn, guidance)
+        step = partial(_ddpm_step, schedule, denoise_fn, guidance_fn,
+                       guidance, collect)
     elif sampler == "ddim":
-        step = partial(_ddim_step, schedule, denoise_fn, guidance_fn, guidance, eta)
+        step = partial(_ddim_step, schedule, denoise_fn, guidance_fn,
+                       guidance, eta, collect)
     else:
         raise ValueError(f"unknown sampler: {sampler}")
 
-    (x_final, _), _ = jax.lax.scan(step, (x, key), indices)
+    (x_final, _), traj = jax.lax.scan(step, (x, key), indices)
     # at t=0: nonzero-mask kills the noise and mean == pred_xstart (DDPM) /
     # mean_pred == pred_xstart (DDIM, ᾱ_prev=1), so x_final IS pred_xstart.
+    if collect:
+        dumps = traj[jnp.asarray(tuple(dump_steps), dtype=jnp.int32)]
+        return x_final, x_final, dumps
     return x_final, x_final

@@ -193,6 +193,43 @@ class TestGoldenSamplers:
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
 
+    def test_ddpm_dump_steps_matches_zero_noise(self, rng, monkeypatch):
+        """dump_steps trajectory snapshots (reference p_sample_loop:441-446:
+        0-based loop-iteration indices, post-step samples) — golden with
+        randn_like patched to zeros so the chain is deterministic."""
+        import torch
+        from diffusion import gaussian_diffusion as gd
+        from diffusion.respace import SpacedDiffusion, space_timesteps as ref_space
+
+        monkeypatch.setattr(gd.th, "randn_like", lambda x: torch.zeros_like(x))
+
+        betas = gd.get_named_beta_schedule("cosine", 50)
+        ref = SpacedDiffusion(
+            use_timesteps=ref_space(50, [50]), betas=betas,
+            rescale_timesteps=False, body_rep_mean=None, body_rep_std=None,
+        )
+        den = _LinearDenoiser(rng)
+        x_T = rng.randn(4, 16).astype(np.float32)
+        steps = (0, 17, 49)
+        dump = ref.p_sample_loop(
+            den.torch_model(), {}, (4, 16), noise=torch.from_numpy(x_T.copy()),
+            clip_denoised=False, device=torch.device("cpu"), progress=False,
+            dump_steps=list(steps),
+        )
+        want = np.stack([d.numpy() for d in dump])
+
+        sched = make_schedule(50, "cosine", "")
+        zero_normal = lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype)
+        monkeypatch.setattr(jax.random, "normal", zero_normal)
+        got, got_x0, dumps = sample_loop(
+            sched, den.jax_fn(), jax.random.PRNGKey(0), (4, 16),
+            sampler="ddpm", noise=jnp.asarray(x_T), dump_steps=steps,
+        )
+        np.testing.assert_allclose(np.asarray(dumps), want, rtol=2e-4, atol=1e-5)
+        # the final iteration's dump IS the final sample
+        np.testing.assert_allclose(np.asarray(dumps[-1]), np.asarray(got),
+                                   rtol=1e-6, atol=1e-7)
+
     def test_ddim_guided_matches(self, rng):
         """Guided DDIM (eta=0) is deterministic -> exact golden vs reference
         ddim_sample_with_grad (gaussian_diffusion.py:559-614)."""
