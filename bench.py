@@ -37,11 +37,6 @@ def main():
                          "math, guidance and SMPL stay float32 either way)")
     ap.add_argument("--bf16", action="store_true",
                     help=argparse.SUPPRESS)  # pre-round-3 alias of the default
-    ap.add_argument("--gcn", choices=["fused", "xla"], default="xla",
-                    help="GCN denoiser inside the sampling scan: 'fused' = "
-                         "whole-denoiser Pallas kernel (nn/gcn_fused.py); "
-                         "'xla' (default — measured faster in-pipeline, see "
-                         "BASELINE.md round-3 kernel notes)")
     ap.add_argument("--pointnet", choices=["fused", "xla"], default="fused",
                     help="scene encoder: whole-network Pallas kernel (fused,"
                          " default) or plain XLA matmuls")
@@ -103,7 +98,7 @@ def main():
         B, P, V, img = 8, 2048, 1024, 224
     else:
         # full ResNet50 / 2694-d context / 3718-d GCN
-        cfg = EgoHMRConfig(pointnet_impl=args.pointnet, gcn_impl=args.gcn)
+        cfg = EgoHMRConfig(pointnet_impl=args.pointnet)
         B, P, V, img = args.batch_size, 20000, 6890, 224
 
     params = init_egohmr(jax.random.PRNGKey(0), cfg)
@@ -332,7 +327,7 @@ def _guided_bench(args):
         )
         B, P, V = 4, 2048, 512
     else:
-        cfg = EgoHMRConfig(pointnet_impl=args.pointnet, gcn_impl=args.gcn)
+        cfg = EgoHMRConfig(pointnet_impl=args.pointnet)
         default_b = 64 if args.guided_ddim else 16
         B, P, V = (args.batch_size if args.batch_size != 64 else default_b,
                    20000, 6890)

@@ -82,11 +82,6 @@ def parse_args(argv=None):
                    help="scene encoder: 'fused' = whole-network Pallas TPU "
                         "kernel (bf16 storage, ~2x faster; auto-falls back "
                         "to xla on CPU); 'xla' = exact f32 parity path")
-    p.add_argument("--gcn_impl", type=str, default="xla",
-                   choices=["xla", "fused"],
-                   help="GCN denoiser in the sampling scan: 'fused' = "
-                        "whole-denoiser Pallas kernel (nn/gcn_fused.py; "
-                        "auto-falls back to xla on CPU)")
     p.add_argument("--data_parallel", type=b, default=True,
                    help="shard eval batches across all local devices "
                         "(batch_size must divide by the device count)")
@@ -115,7 +110,6 @@ def main(argv=None):
         with_cam_center=args.with_cam_center,
         with_bbox_info=args.with_bbox_info,
         pointnet_impl=args.pointnet_impl,
-        gcn_impl=args.gcn_impl,
     )
 
     respacing = ("" if args.timestep_respacing_eval == "ddpm"

@@ -76,11 +76,10 @@ class EgoHMRConfig:
     # kernel (nn/pointnet_fused.py) at inference — bf16 storage, one HBM
     # read of the cloud. Training and CPU backends always use "xla".
     pointnet_impl: str = "xla"
-    # same knob for the GCN denoiser inside the sampling scan: "fused" runs
-    # the whole denoiser (input mix -> 4 residual blocks -> output) as one
-    # VMEM-resident Pallas kernel (nn/gcn_fused.py) at inference; falls
-    # back to "xla" on CPU, in training, and for the non-local topology.
-    gcn_impl: str = "xla"
+    # NOTE: there is deliberately no gcn_impl knob. A whole-denoiser Pallas
+    # kernel was built and measured (git 29aaacc): 0.97 ms/call vs XLA's
+    # 0.58-0.85 — XLA already schedules the 24-node GCN's small weights
+    # well. See BASELINE.md "GCN denoiser kernel" for the write-up.
     with_focal_length: bool = True
     with_bbox_info: bool = True
     with_cam_center: bool = True
@@ -364,27 +363,14 @@ def make_denoise_fn(params: dict, cfg: EgoHMRConfig, cond: Condition, *,
     step only pays the small x_t/t projections. Exact same math as
     `denoise_x0` up to f32 summation order (reference recomputes the whole
     input matmul per step: egohmr.py:230-257 + modulated_gcn_conv.py:38-44).
-
-    With `cfg.gcn_impl == "fused"` (TPU only, production topology) the
-    denoiser body runs as the whole-network Pallas kernel
-    (nn/gcn_fused.py); otherwise the XLA path.
     """
     fuse = cfg.diffuse_fuse if fuse is None else fuse
     gcn = params["diffusion_model"]
-    use_fused_gcn = (
-        cfg.gcn_impl == "fused" and "non_local" not in gcn
-        and jax.default_backend() not in ("cpu",)  # Pallas needs the TPU
-    )
-    if use_fused_gcn:
-        from ..nn.gcn_fused import modulated_gcn_fused
 
-        def gcn_apply(h0, h1):
-            return modulated_gcn_fused(gcn, _ADJ, h0, h1)
-    else:
-        def gcn_apply(h0, h1):
-            out, _ = modulated_gcn_forward(
-                gcn, _ADJ, None, train=False, input_h=(h0, h1))
-            return out
+    def gcn_apply(h0, h1):
+        out, _ = modulated_gcn_forward(
+            gcn, _ADJ, None, train=False, input_h=(h0, h1))
+        return out
     W = gcn["gconv_input"]["gconv"]["W"]  # [2, gcn_in_dim, hid]
     Dc = cfg.context_feats_dim
     Dx = cfg.input_process_dim

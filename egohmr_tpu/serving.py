@@ -90,21 +90,16 @@ class Predictor:
         max_inflight: int = 4,
         output_keys=_OUTPUT_KEYS,
         pointnet_impl: Optional[str] = "fused",
-        gcn_impl: Optional[str] = None,
     ):
         """`mesh`: optional 1-D `jax.sharding.Mesh` — each request's batch is
         sharded over its devices (data parallelism; the whole pipeline is
         per-sample, so XLA partitions every op with no model changes).
-        `batch_size` must divide by the mesh size. `pointnet_impl`/`gcn_impl`
-        override the matching cfg knobs for serving (pointnet defaults to
-        "fused"; gcn follows cfg — the XLA denoiser measured faster
-        in-pipeline, BASELINE.md round-3 kernel notes; None = keep cfg)."""
-        from dataclasses import replace
-
+        `batch_size` must divide by the mesh size. `pointnet_impl` overrides
+        `cfg.pointnet_impl` for serving (default "fused"; None = keep cfg)."""
         if pointnet_impl is not None and cfg.pointnet_impl != pointnet_impl:
+            from dataclasses import replace
+
             cfg = replace(cfg, pointnet_impl=pointnet_impl)
-        if gcn_impl is not None and cfg.gcn_impl != gcn_impl:
-            cfg = replace(cfg, gcn_impl=gcn_impl)
         self.batch_size = int(batch_size)
         self.num_samples = int(num_samples)
         self.max_inflight = max(1, int(max_inflight))
