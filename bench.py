@@ -18,8 +18,50 @@ Usage: python bench.py [--batch-size N] [--iters K] [--quick]
 """
 import argparse
 import json
+import os
 import sys
 import time
+
+
+def _chain_throughput(call, iters, *, measure_latency=False):
+    """Steady-state per-call time via chained dispatch + forced completion.
+
+    MEASUREMENT RULE 2 (CLAUDE.md): under the axon tunnel,
+    block_until_ready can return BEFORE device completion, silently turning
+    a timing into a dispatch-rate measurement. Completion is therefore
+    forced by DOWNLOADING a scalar reduce of the LAST output (single device
+    => FIFO execution, so the last program completing implies all did), and
+    steady-state throughput is the DIFFERENCE of two chain lengths — min of
+    two runs each to shed host/network hiccups — which also cancels the
+    fixed download/dispatch cost: dt = (t(N2) - t(N1)) / (N2 - N1).
+
+    `call(i)` must dispatch one batch keyed by the integer i (distinct keys
+    defeat caching) and return the output array. Returns
+    (dt_per_call_s, p50_blocking_latency_s_or_None, compile_s).
+    """
+    import jax.numpy as jnp
+
+    def chain(n, key0):
+        t0 = time.time()
+        out = None
+        for i in range(n):
+            out = call(key0 + i)
+        float(jnp.sum(out))  # scalar download = completion fence
+        return time.time() - t0
+
+    t0 = time.time()
+    chain(1, 0)
+    compile_s = time.time() - t0
+    lat = None
+    if measure_latency:
+        times = [chain(1, i + 1) for i in range(iters)]
+        lat = sorted(times)[len(times) // 2]  # median = honest p50
+    n1 = max(iters, 3)
+    n2 = 3 * n1
+    d1 = min(chain(n1, 100), chain(n1, 200))
+    d2 = min(chain(n2, 300), chain(n2, 400))
+    dt = max(d2 - d1, 1e-9) / (n2 - n1)
+    return dt, lat, compile_s
 
 
 def main():
@@ -60,6 +102,9 @@ def main():
                          "PIL+native path the dataset uses, and the pure-"
                          "python fallback — vs the device step budget")
     args = ap.parse_args()
+
+    if args.bf16 and args.f32:
+        ap.error("--bf16 (legacy alias of the default) conflicts with --f32")
 
     if args.host:
         return _host_bench(args)
@@ -176,41 +221,17 @@ def main():
         return ref_final(batch, x)
 
     def time_fn(fn, tag, jit=True, n_bodies=NB):
-        """Returns (throughput samples/s, blocking p50 latency).
-
-        MEASUREMENT RULE 2 (CLAUDE.md): under the axon tunnel,
-        block_until_ready can return BEFORE device completion, silently
-        turning a timing into a dispatch-rate measurement. Completion is
-        therefore forced by DOWNLOADING a scalar reduce of the LAST output
-        (single device => FIFO execution, so the last program completing
-        implies all did), and steady-state throughput is the DIFFERENCE of
-        two chain lengths, which also cancels the fixed download/dispatch
-        cost: dt = (t(N2) - t(N1)) / (N2 - N1).
+        """Returns (throughput samples/s, blocking p50 latency) via
+        `_chain_throughput` (see its docstring for the fencing rules).
 
         Latency is the p50 of dispatch -> forced-completion download of one
         batch (includes one ~25-40 ms tunnel round trip — honest for a
         remote client, pessimistic on a local TPU VM).
         """
         jf = jax.jit(fn) if jit else fn
-
-        def chain(n, key0):
-            t0 = time.time()
-            out = None
-            for i in range(n):
-                out = jf(batch, jax.random.PRNGKey(key0 + i))
-            float(jnp.sum(out))  # scalar download = completion fence
-            return time.time() - t0
-
-        t0 = time.time()
-        chain(1, 0)
-        compile_s = time.time() - t0
-        times = [chain(1, i + 1) for i in range(args.iters)]
-        lat = sorted(times)[len(times) // 2]  # median = honest p50
-        n1 = max(args.iters, 3)
-        n2 = 3 * n1
-        d1 = min(chain(n1, 100), chain(n1, 200))
-        d2 = min(chain(n2, 300), chain(n2, 400))
-        dt = max(d2 - d1, 1e-9) / (n2 - n1)
+        dt, lat, compile_s = _chain_throughput(
+            lambda i: jf(batch, jax.random.PRNGKey(i)), args.iters,
+            measure_latency=True)
         print(f"# {tag}: compile {compile_s:.1f}s, blocking p50 {lat*1e3:.1f}ms"
               f", pipelined {dt*1e3:.1f}ms/batch -> {n_bodies/dt:.1f} samples/s",
               file=sys.stderr)
@@ -254,18 +275,8 @@ def main():
                                  stats)["pred_keypoints_3d"]
 
         jf = jax.jit(fused_paper)
-
-        def chain5(n, key0):
-            t0 = time.time()
-            out = None
-            for i in range(n):
-                out = jf(batch5, jax.random.PRNGKey(key0 + i))
-            float(jnp.sum(out))  # completion fence (MEASUREMENT RULE 2)
-            return time.time() - t0
-
-        chain5(1, 0)
-        n1 = max(args.iters, 3)
-        dt5 = max(chain5(3 * n1, 100) - chain5(n1, 500), 1e-9) / (2 * n1)
+        dt5, _, _ = _chain_throughput(
+            lambda i: jf(batch5, jax.random.PRNGKey(i)), args.iters)
         paper_sps = B5 * S5 / dt5
         print(f"# paper setting (32 imgs x 5 samples): pipelined "
               f"{dt5*1e3:.1f}ms/batch -> {paper_sps:.1f} samples/s",
@@ -283,15 +294,61 @@ def main():
             "p50_latency_ms_per_batch": round(fused_dt * 1e3, 2),
             "throughput_mode": "pipelined (async dispatch, sync at end); "
                                "latency is blocking per-batch p50",
+            "conditioning_dtype": "bfloat16" if use_bf16 else "float32",
             "pointnet_impl": cfg.pointnet_impl,
             "baseline": "same model, reference architecture (conditioning "
-                        "recomputed every denoise step), same chip, jitted",
+                        "recomputed every denoise step), same chip, jitted, "
+                        "float32 (as the reference runs) — vs_baseline "
+                        "therefore includes the bf16 win unless --f32",
             "paper_setting_samples_per_sec": (
                 round(paper_sps, 2) if paper_sps else None),
             "device": str(jax.devices()[0]),
         },
     }
+    # guided-mode numbers measured on this chip by `bench.py --guided` /
+    # `--guided-ddim` runs (persisted to BENCH_extra.json by those runs) ride
+    # along so one driver invocation records every product point
+    sidecar = _read_sidecar()
+    if sidecar:
+        result["extra"]["guided_modes"] = sidecar
     print(json.dumps(result))
+
+
+_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_extra.json")
+
+
+def _read_sidecar():
+    try:
+        with open(_SIDECAR) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_sidecar(metric: str, entry: dict):
+    """Persist a guided-mode result for the default bench to report.
+
+    Each entry is stamped with the git revision that produced it plus a
+    provenance note, so a stale sidecar (older code / other dtype flags) is
+    identifiable in the emitted JSON rather than passing as fresh."""
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(_SIDECAR), capture_output=True, text=True,
+            timeout=10).stdout.strip() or None
+    except (OSError, subprocess.SubprocessError):
+        rev = None
+    entry = dict(entry, git_rev=rev,
+                 note="measured by a separate bench.py --guided* run "
+                      "(see measured_unix/git_rev), not by this invocation")
+    data = _read_sidecar() or {}
+    data[metric] = entry
+    with open(_SIDECAR, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 def _guided_bench(args):
@@ -352,30 +409,13 @@ def _guided_bench(args):
         return outs["pred_keypoints_3d"]
 
     jf = jax.jit(guided)
-
-    def chain(n, key0):
-        """Dispatch n batches, then force completion by downloading a scalar
-        (MEASUREMENT RULE 2: block_until_ready can lie under axon)."""
-        t0 = time.time()
-        out = None
-        for i in range(n):
-            out = jf(params, batch, jax.random.PRNGKey(key0 + i))
-        float(jnp.sum(out))
-        return time.time() - t0
-
-    t0 = time.time()
-    chain(1, 0)
-    compile_s = time.time() - t0
-    lat = [chain(1, i + 1) for i in range(args.iters)]
-    p50 = sorted(lat)[len(lat) // 2]
-    n1 = max(args.iters, 3)
-    d1 = min(chain(n1, 100), chain(n1, 200))
-    d2 = min(chain(3 * n1, 300), chain(3 * n1, 400))
-    dt = max(d2 - d1, 1e-9) / (2 * n1)
+    dt, p50, compile_s = _chain_throughput(
+        lambda i: jf(params, batch, jax.random.PRNGKey(i)), args.iters,
+        measure_latency=True)
     print(f"# {tag}: compile {compile_s:.1f}s, blocking p50 {p50*1e3:.1f}ms, "
           f"pipelined {dt*1e3:.1f}ms/batch -> {B/dt:.1f} bodies/s",
           file=sys.stderr)
-    print(json.dumps({
+    res = {
         "metric": metric,
         "value": round(B / dt, 2),
         "unit": "samples/s",
@@ -389,7 +429,13 @@ def _guided_bench(args):
             "conditioning_dtype": "bfloat16" if use_bf16 else "float32",
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+    print(json.dumps(res))
+    if not args.quick:  # persist for the default bench to report alongside
+        _write_sidecar(metric, {
+            "value": res["value"], "unit": res["unit"],
+            "extra": res["extra"], "measured_unix": round(time.time(), 1),
+        })
 
 
 def _host_bench(args):

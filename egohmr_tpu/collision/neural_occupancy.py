@@ -55,6 +55,10 @@ class OccupancyConfig:
 
 
 def init_occupancy(key: Array, cfg: OccupancyConfig = OccupancyConfig()) -> dict:
+    # jax.random.split is prefix-stable in the count (split(k, n)[i] does not
+    # depend on n), so the extra key appended for part_embed leaves the
+    # part-code-free round-2 streams — and the shipped artifacts'
+    # seed-reproducibility — unchanged.
     ks = jax.random.split(key, cfg.num_layers + 4)
     # per-part latent from the part's bone transform (12 numbers) + betas
     # (+ the learned part code when enabled)

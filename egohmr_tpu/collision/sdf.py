@@ -54,13 +54,18 @@ def topk_scene_points(scene, k):
     return jnp.take_along_axis(scene, idx[..., None], axis=1)
 
 
-def topk_scene_points_near_body(scene, verts, k, margin: float = 0.02):
+def topk_scene_points_near_body(scene, verts, k, margin: float = 0.0):
     """The K scene points nearest the BODY's bounding box (distance 0 inside
-    the padded bbox). Every bbox-masked point ranks before any outside
-    point, so any computation that masks to the body bbox afterwards
-    (`bbox_mask` + `collision_loss`) is EXACT as long as the number of
-    masked points is <= K — the same contract as the reference's <=4000
-    bbox crop (egohmr.py:409-412), without its random subsample.
+    the bbox). Every bbox-masked point ranks before any outside point, so
+    any computation that masks to the body bbox afterwards (`bbox_mask` +
+    `collision_loss`) is EXACT as long as the number of masked points is
+    <= K — the same contract as the reference's <=4000 bbox crop
+    (egohmr.py:409-412), without its random subsample.
+
+    The ranking `margin` must be <= the downstream `bbox_mask` margin
+    (both default 0): a LARGER ranking margin makes margin-shell points tie
+    at distance 0 with the scoring points, and `top_k`'s index-order
+    tie-break could then evict scoring points even when they fit in K.
     scene: [B, P, 3]; verts: [B, V, 3] (stop-gradient'd internally).
     """
     if k is None or scene.shape[1] <= k:

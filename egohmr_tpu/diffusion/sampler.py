@@ -185,6 +185,14 @@ def sample_loop(
         x = q_sample(schedule, init_data, t0, x)
 
     collect = dump_steps is not None
+    if collect:
+        # reject out-of-range indices loudly: XLA's gather would CLAMP them
+        # to the last step, returning the final sample mislabeled as an
+        # earlier snapshot (the reference loop would just omit them)
+        bad = [i for i in dump_steps if not 0 <= int(i) < t_start]
+        if bad:
+            raise ValueError(
+                f"dump_steps {bad} out of range for a {t_start}-step chain")
     if sampler == "ddpm":
         step = partial(_ddpm_step, schedule, denoise_fn, guidance_fn,
                        guidance, collect)

@@ -108,12 +108,18 @@ def warp_affine_norm(
 def load_batch(
     paths: Sequence[str], trans: np.ndarray, flips: np.ndarray,
     color_scales: np.ndarray, mean, std, out_size: int,
-    num_threads: int = 0,
+    num_threads: int = 0, strict: bool = True,
 ) -> Optional[np.ndarray]:
     """Threaded decode+flip+warp+normalize.
 
     trans: [N, 2, 3]; flips: [N] bool; color_scales: [N, 3].
     Returns [N, S, S, 3] float32 (NHWC, TPU layout) or None if unavailable.
+
+    A corrupt/missing file raises (strict=True default) — the C++ side
+    zero-fills the failed slot, and training on black images with real
+    labels would silently corrupt gradients (the PIL path, like the torch
+    reference's Image.open, crashes loudly). strict=False keeps the
+    zero-fill + warning for salvage-style offline use.
     """
     lib = _load()
     if lib is None:
@@ -131,6 +137,12 @@ def load_batch(
         arr, n, _fptr(t), fl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         _fptr(cs), _fptr(me), _fptr(sd), out_size, _fptr(out), num_threads)
     if failures:
+        if strict:
+            raise RuntimeError(
+                f"native load_batch: {failures}/{n} items failed to decode "
+                "(corrupt or missing image files); failed slots are "
+                "zero-filled — refusing to train on them. Pass strict=False "
+                "to keep going with a warning.")
         import logging
 
         logging.getLogger("egohmr_tpu").warning(

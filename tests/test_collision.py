@@ -301,3 +301,53 @@ def test_body_bbox_cap_exact_on_dense_centered_crop():
     # loss uses the body-bbox ranking)
     origin_capped = np.asarray(loss(topk_scene_points(scene, 2000)))
     assert not np.allclose(origin_capped, full, rtol=1e-4)
+
+
+def test_body_bbox_cap_tiebreak_cannot_evict_scoring_points():
+    """Adversarial tie layout (round-3 review finding): points in a thin
+    shell AROUND the bbox placed at the LOWEST array indices, penetrating
+    in-bbox points at the highest. With any ranking margin > the mask margin
+    all of them tie at distance 0 and top_k's index-order tie-break evicts
+    the scoring points (loss silently becomes 0). The ranking margin now
+    matches the mask margin (0), so in-bbox points strictly outrank the
+    shell and the cap stays exact."""
+    import jax
+    import jax.numpy as jnp
+    from egohmr_tpu.collision.sdf import (
+        bbox_mask, collision_loss, signed_distance,
+        topk_scene_points_near_body,
+    )
+    from egohmr_tpu.smpl import make_synthetic_model, lbs, vertex_normals
+
+    smpl = make_synthetic_model(num_vertices=256)
+    B = 1
+    k = jax.random.PRNGKey(11)
+    betas = jnp.zeros((B, 10))
+    aa = jnp.zeros((B, 24, 3))
+    out = lbs(smpl, betas, aa[:, 0], aa[:, 1:].reshape(B, 69))
+    verts = out.vertices
+    normals = vertex_normals(verts, smpl.faces)
+    lo = jnp.min(verts, axis=1)[0]
+    hi = jnp.max(verts, axis=1)[0]
+    center = (lo + hi) / 2
+
+    # K shell points JUST outside the bbox (inside a 2 cm pad), first in
+    # the array; then a handful of penetrating points near the body center
+    K = 64
+    u = jax.random.uniform(k, (B, K, 3))
+    shell = jnp.concatenate([
+        (lo[0] - 0.01 + u[..., :1] * 0.005),       # x slightly below lo_x
+        lo[1:][None, None] + u[..., 1:] * (hi[1:] - lo[1:]),
+    ], axis=-1)
+    inside = center[None, None] + (u[:, :8] - 0.5) * 0.02
+    scene = jnp.concatenate([shell, inside], axis=1)
+
+    def loss(pcd):
+        m = bbox_mask(pcd, verts)
+        sdf = signed_distance(pcd, verts, normals)
+        return collision_loss(sdf, m.astype(sdf.dtype))
+
+    full = np.asarray(loss(scene))
+    assert full.max() > 0
+    capped = np.asarray(loss(topk_scene_points_near_body(scene, verts, K)))
+    np.testing.assert_allclose(capped, full, rtol=1e-6, atol=1e-7)

@@ -230,6 +230,18 @@ class TestGoldenSamplers:
         np.testing.assert_allclose(np.asarray(dumps[-1]), np.asarray(got),
                                    rtol=1e-6, atol=1e-7)
 
+    def test_dump_steps_out_of_range_rejected(self, rng):
+        """Indices past the chain length must raise, not silently clamp to
+        the final step (XLA gather semantics would mislabel the final
+        sample as an earlier snapshot)."""
+        import pytest
+
+        den = _LinearDenoiser(rng)
+        sched = make_schedule(50, "cosine", "ddim5")  # 5 iterations
+        with pytest.raises(ValueError, match="out of range"):
+            sample_loop(sched, den.jax_fn(), jax.random.PRNGKey(0), (2, 16),
+                        sampler="ddim", dump_steps=(0, 17, 49))
+
     def test_ddim_guided_matches(self, rng):
         """Guided DDIM (eta=0) is deterministic -> exact golden vs reference
         ddim_sample_with_grad (gaussian_diffusion.py:559-614)."""
