@@ -68,9 +68,16 @@ def test_load_batch_threaded(tmp_path, rng):
     assert out is not None and out.shape == (4, 64, 64, 3)
     assert np.isfinite(out).all() and out.std() > 1.0
 
-    # a bad path zero-fills its slot and doesn't poison the batch
+    # a bad path raises by default (training on zero-filled images with real
+    # labels would silently corrupt gradients — round-3 review finding) ...
     paths[2] = str(tmp_path / "missing.jpg")
+    with pytest.raises(RuntimeError, match="failed to decode"):
+        native.load_batch(paths, trans, flips, cs,
+                          (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 64)
+    # ... while strict=False keeps the salvage behavior: the bad slot
+    # zero-fills and doesn't poison the rest of the batch
     out2 = native.load_batch(paths, trans, flips, cs,
-                             (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 64)
+                             (0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 64,
+                             strict=False)
     assert np.all(out2[2] == 0)
     np.testing.assert_allclose(out2[0], out[0])
