@@ -95,6 +95,13 @@ def main():
                     help="measure guided DDIM-5 (reference "
                          "ddim_sample_with_grad, eps shift at t<=3) at the "
                          "headline batch 64 — the FAST guided product point")
+    ap.add_argument("--serving", action="store_true",
+                    help="measure the PRODUCTION serving layer "
+                         "(serving.Predictor.map_batches: bounded in-flight "
+                         "window, packed single-transfer readback on a side "
+                         "thread) instead of the raw pipeline — the "
+                         "steady-state requests/s a deployed replica "
+                         "sustains, host readback included")
     ap.add_argument("--host", action="store_true",
                     help="measure the HOST input pipeline (JPEG decode + "
                          "crop-warp + normalize) on real-sized 1920x1080 "
@@ -118,6 +125,8 @@ def main():
 
     if args.guided or args.guided_ddim:
         return _guided_bench(args)
+    if args.serving:
+        return _serving_bench(args)
 
     import jax.numpy as jnp
 
@@ -305,12 +314,13 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
-    # guided-mode numbers measured on this chip by `bench.py --guided` /
-    # `--guided-ddim` runs (persisted to BENCH_extra.json by those runs) ride
-    # along so one driver invocation records every product point
+    # companion numbers measured on this chip by `bench.py --guided` /
+    # `--guided-ddim` / `--serving` runs (persisted to BENCH_extra.json by
+    # those runs) ride along so one driver invocation records every product
+    # point
     sidecar = _read_sidecar()
     if sidecar:
-        result["extra"]["guided_modes"] = sidecar
+        result["extra"]["companion_benchmarks"] = sidecar
     print(json.dumps(result))
 
 
@@ -433,6 +443,95 @@ def _guided_bench(args):
     print(json.dumps(res))
     if not args.quick:  # persist for the default bench to report alongside
         _write_sidecar(metric, {
+            "value": res["value"], "unit": res["unit"],
+            "extra": res["extra"], "measured_unix": round(time.time(), 1),
+        })
+
+
+def _serving_bench(args):
+    """Steady-state throughput of the PRODUCTION serving layer.
+
+    Unlike the headline bench (raw jitted pipeline, completion forced by a
+    scalar download), this streams batches through
+    `serving.Predictor.map_batches` — bounded in-flight window, packed
+    single-transfer readback on a side thread — and counts FULLY READ-BACK
+    host outputs, i.e. what a deployed replica actually sustains. Consuming
+    numpy outputs is an intrinsic completion fence (no MEASUREMENT RULE 2
+    caveat). Steady-state via stream-length differencing to cancel the
+    warmup/drain edges.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from egohmr_tpu.data.synthetic import synthetic_batch
+    from egohmr_tpu.diffusion import make_schedule
+    from egohmr_tpu.models import BodyRepStats, EgoHMRConfig, init_egohmr
+    from egohmr_tpu.serving import Predictor
+    from egohmr_tpu.smpl import make_synthetic_model
+
+    use_bf16 = not args.f32
+    if args.quick:
+        cfg = EgoHMRConfig(
+            img_feat_dim=128, backbone_type="stub", scene_feat_dim=64,
+            pointnet_hidden_dim=32, transl_embed_dim=32,
+            timestep_embed_dim=64, input_process_dim=64, gcn_hid_dim=128,
+            gcn_layers=2,
+        )
+        B, P, V = 4, 2048, 512
+    else:
+        cfg = EgoHMRConfig()
+        B, P, V = args.batch_size, 20000, 6890
+    params = init_egohmr(jax.random.PRNGKey(0), cfg)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=V)
+    schedule = make_schedule(50, "cosine", "ddim5")
+    pred = Predictor(params, cfg, smpl, stats, schedule, batch_size=B,
+                     num_samples=args.num_samples, sampler="ddim",
+                     bf16=use_bf16,
+                     pointnet_impl=args.pointnet)
+    batch = synthetic_batch(B, num_scene_points=P)
+
+    t0 = time.time()
+    pred.warmup(batch)
+    compile_s = time.time() - t0
+
+    def run_stream(n):
+        t0 = time.time()
+        count = 0
+        for out in pred.map_batches(dict(batch) for _ in range(n)):
+            count += out["pred_betas"].shape[0]
+        assert count == n * B
+        return time.time() - t0
+
+    n1 = max(args.iters, 3)
+    n2 = 3 * n1
+    d1 = min(run_stream(n1), run_stream(n1))
+    d2 = min(run_stream(n2), run_stream(n2))
+    dt = max(d2 - d1, 1e-9) / (n2 - n1)
+    sps = B * args.num_samples / dt
+    print(f"# serving: compile {compile_s:.1f}s, steady-state "
+          f"{dt*1e3:.1f}ms/batch -> {sps:.1f} bodies/s (host readback incl.)",
+          file=sys.stderr)
+    res = {
+        "metric": "serving_predictor_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": None,
+        "extra": {
+            "batch_size": B,
+            "num_samples_per_image": args.num_samples,
+            "scene_points": P,
+            "ms_per_batch_steady_state": round(dt * 1e3, 2),
+            "max_inflight": pred.max_inflight,
+            "conditioning_dtype": "bfloat16" if use_bf16 else "float32",
+            "readback": "packed single-transfer numpy outputs per batch "
+                        "(side thread) — host consumption included",
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(res))
+    if not args.quick:
+        _write_sidecar(res["metric"], {
             "value": res["value"], "unit": res["unit"],
             "extra": res["extra"], "measured_unix": round(time.time(), 1),
         })
