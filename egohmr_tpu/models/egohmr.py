@@ -244,7 +244,16 @@ def compute_condition(
         scene_feats = pointnet_forward(params["scene_enc"], scene_in)
     transl_feat = transl_enc(params["transl_enc"], input_transl)
 
-    shared = jnp.concatenate([scene_feats, transl_feat, cam_feats], axis=-1)
+    # keep the whole conditioning tensor in the encoder dtype: transl/cam
+    # features are computed in f32 (their inputs are f32 even when params are
+    # bf16 — mixed matmuls promote), and concatenating them un-cast would
+    # silently promote `cond` — and with it the ENTIRE denoiser — back to
+    # f32, undoing the low-precision path (measured round 3: the "bf16"
+    # pipeline was running the GCN in f32 because of exactly this)
+    cdt = scene_feats.dtype
+    shared = jnp.concatenate(
+        [scene_feats, transl_feat.astype(cdt), cam_feats.astype(cdt)], axis=-1
+    )
     shared24 = jnp.broadcast_to(shared[:, None, :], (B, 24, shared.shape[-1]))
     img24 = jnp.broadcast_to(img_feats[:, None, :], (B, 24, img_feats.shape[-1]))
     img24_vis = img24 * vis_mask_smpl[..., None].astype(img24.dtype)
@@ -274,7 +283,11 @@ def compute_condition(
             drop = jax.random.bernoulli(rng, cfg.cond_mask_prob, (B,))
         cond = jnp.where(drop[:, None, None], cond_uncond, cond)
 
-    # betas head sees the UNMASKED image features (reference :262-265)
+    # betas head sees the UNMASKED image features (reference :262-265).
+    # Deliberately UN-cast transl/cam feats here: the mixed concat promotes
+    # beta_in to f32, so pred_betas (which drives SMPL shape in the loss and
+    # the compact outputs) keeps full precision even on the bf16 path — the
+    # head is a single tiny [B,1024] MLP, not worth low-precision savings.
     beta_in = jnp.concatenate(
         [img_feats, scene_feats, transl_feat, cam_feats], axis=-1
     )

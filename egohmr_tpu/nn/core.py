@@ -92,8 +92,12 @@ def batchnorm(
     over the reference's single-GPU BN. Returns (y, new_params_with_state).
     """
     if train:
-        mean = jnp.mean(x, axis=reduce_axes)
-        mean2 = jnp.mean(jnp.square(x), axis=reduce_axes)
+        # batch statistics ALWAYS in f32: a bf16 mean2 - mean^2 is
+        # catastrophically lossy (mixed-precision training path); no-op for
+        # f32 activations, and XLA fuses the convert into the reduction
+        xs = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+        mean = jnp.mean(xs, axis=reduce_axes)
+        mean2 = jnp.mean(jnp.square(xs), axis=reduce_axes)
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
             mean2 = jax.lax.pmean(mean2, axis_name)
@@ -120,12 +124,15 @@ def batchnorm(
     assert len(channel_axis) == 1
     shape[channel_axis[0]] = -1
     inv = jax.lax.rsqrt(var + eps) * params["scale"]
-    if not train and x.dtype != inv.dtype:
-        # low-precision inference: fold BN into one per-channel scale/shift
-        # CAST TO THE ACTIVATION DTYPE. Without this, `x - mean` promotes
-        # bf16 activations back to f32 after every BN, silently undoing the
-        # bandwidth savings of a bf16 backbone (measured: the +2% round-1
-        # bf16 result was this promotion).
+    if x.dtype != inv.dtype:
+        # low-precision activations (train OR eval): fold BN into one
+        # per-channel scale/shift CAST TO THE ACTIVATION DTYPE. Without
+        # this, `x - mean` promotes bf16 activations back to f32 after
+        # every BN, silently undoing the bandwidth savings of a bf16
+        # backbone (measured: the +2% round-1 bf16 result was this
+        # promotion). In train mode the folded stats are the f32 BATCH
+        # stats computed above, so normalization accuracy is unchanged —
+        # only the final per-element multiply-add runs in bf16.
         shift = params["bias"] - mean * inv
         y = x * inv.astype(x.dtype).reshape(shape) + shift.astype(x.dtype).reshape(shape)
         return y, new_params

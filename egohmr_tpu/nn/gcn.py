@@ -60,8 +60,12 @@ def modulated_gconv_mix(p: dict, adj: Array, h0: Array, h1: Array) -> Array:
     layer's matmul out of the denoising loop: x = [cond | x_t-feats | t-emb]
     is a feature concat, so x@W = cond@W_c + xt@W_x + temb@W_t and the cond
     term is loop-invariant (models/egohmr.py make_denoise_fn)."""
-    a = adj + p["adj2"]
-    a = (a.T + a) / 2
+    # symmetrize in f32 (adj is a f32 constant; adj2 is a learned 24x24),
+    # then drop to the activation dtype: without the cast, `adj + adj2`
+    # promotes to f32 and the einsums below drag every layer's activations
+    # back to f32 on the bf16 path
+    a = adj.astype(jnp.float32) + p["adj2"].astype(jnp.float32)
+    a = ((a.T + a) / 2).astype(h0.dtype)
     eye = jnp.eye(a.shape[0], dtype=h0.dtype)
     m = p["M"]
     out = jnp.einsum("jk,bkd->bjd", a * eye, m * h0) + jnp.einsum(
@@ -120,7 +124,9 @@ def nonlocal_block(
     theta_x = linear(p["theta"], x)
     phi_x = linear(p["phi"], x)
     f = jnp.einsum("bjc,bkc->bjk", theta_x, phi_x)
-    f = jax.nn.softmax(f, axis=-1)
+    # softmax in f32 regardless of activation dtype (bf16 exp/renorm over the
+    # 24-node axis is needlessly lossy and the [B,24,24] tensor is tiny)
+    f = jax.nn.softmax(f.astype(jnp.float32), axis=-1).astype(x.dtype)
     y = jnp.einsum("bjk,bkc->bjc", f, g_x)        # [B, J, inter]
     w_y = linear(p["w"], y)                       # [B, J, C]
     # BatchNorm2d on [bs, C, 1, 24] == stats over (batch, nodes) per channel

@@ -35,7 +35,7 @@ from ..models import (
     denoise_x0,
     model_outputs,
 )
-from ..nn.core import is_bn_state
+from ..nn.core import cast_params_bf16, is_bn_state
 from ..smpl import SMPLModel
 
 Array = jax.Array
@@ -50,6 +50,13 @@ class TrainConfig:
     # the posed body's bbox (exact while bbox points <= K; analogue of the
     # reference's <=4000-point crop, egohmr.py:406-412); None = full cloud
     max_collision_points: Optional[int] = 4096
+    # mixed-precision training: run the conditioning encoders + denoiser
+    # forward/backward in bfloat16 (BN batch stats, SMPL, losses, grads,
+    # master params and AdamW state all stay f32 — bf16 shares f32's
+    # exponent range, so no loss scaling is needed). The reference trains
+    # pure f32 on GPU; this is the TPU-native speed knob (off by default
+    # for exact-parity training).
+    mixed_precision: bool = False
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
@@ -98,12 +105,19 @@ def stage2_loss(
     use_collision: bool,
     max_collision_points: Optional[int] = 4096,
     axis_name: Optional[str] = None,
+    mixed_precision: bool = False,
 ) -> Tuple[Array, Tuple[Dict, dict]]:
     """One training forward: sample t ~ U, q_sample, denoise, loss.
 
     Equivalent of reference diffusion.training_losses + model.training_step
     (gaussian_diffusion.py:721-746, egohmr.py:453-472) minus the optimizer.
     Returns (loss, (metrics, params_with_new_bn_state)).
+
+    `mixed_precision`: cast (non-BN) params + image + x_t to bf16 for the
+    conditioning/denoiser forward — the backward through the casts lands f32
+    gradients on the f32 master params automatically (convert_element_type
+    transposes to a convert back). q_sample, SMPL, reprojection and all loss
+    terms stay f32; BN batch stats are f32 inside `nn.core.batchnorm`.
     """
     B = batch["img"].shape[0]
     # Per-sample keys derived from the GLOBAL sample index: an N-way sharded
@@ -131,13 +145,26 @@ def stage2_loss(
     )(k_noise, x_start)
     x_t = q_sample(schedule, x_start, t, noise)
 
+    fwd_params = params
+    if mixed_precision:
+        fwd_params = cast_params_bf16(params)
+        batch = dict(batch)
+        batch["img"] = batch["img"].astype(jnp.bfloat16)
     cond, p1 = compute_condition(
-        params, cfg, batch, train=True, rng=k_mask, axis_name=axis_name
+        fwd_params, cfg, batch, train=True, rng=k_mask, axis_name=axis_name
     )
     t_orig = schedule.timestep_map[t]
+    x_t_in = x_t.astype(jnp.bfloat16) if mixed_precision else x_t
     x0_pred, p2 = denoise_x0(
-        params, cfg, cond, x_t, t_orig, fuse=False, train=True, axis_name=axis_name
+        fwd_params, cfg, cond, x_t_in, t_orig, fuse=False, train=True,
+        axis_name=axis_name,
     )
+    if mixed_precision:
+        # loss consumers (SMPL, reprojection, collision, all 8 terms) are f32
+        x0_pred = x0_pred.astype(jnp.float32)
+        cond = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x, cond)
     outputs = model_outputs(cfg, smpl_neutral, cond, x0_pred, stats)
     total, losses = compute_loss(
         cfg, weights, smpl_neutral, smpl_male, smpl_female, batch, cond, outputs,
@@ -193,6 +220,7 @@ def make_train_step(
             use_collision=tcfg.use_collision_loss,
             max_collision_points=tcfg.max_collision_points,
             axis_name=axis_name,
+            mixed_precision=tcfg.mixed_precision,
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

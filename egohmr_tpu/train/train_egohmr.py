@@ -68,6 +68,11 @@ def parse_args(argv=None):
     p.add_argument("--do_augment", type=b, default=True)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--mixed_precision", type=b, default=False,
+                   help="bf16 forward/backward for encoders + denoiser; f32 "
+                        "master params, BN stats, SMPL and losses (no loss "
+                        "scaling needed on TPU — bf16 keeps f32's exponent "
+                        "range). Off by default for exact-parity training.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_pretrained_ckpt", type=str, default="",
                    help=".pt (torch, backbone warm start) or orbax dir")
@@ -209,7 +214,8 @@ def main(argv=None):
 
     def build_step(use_collision):
         tcfg = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
-                           use_collision_loss=use_collision)
+                           use_collision_loss=use_collision,
+                           mixed_precision=args.mixed_precision)
         return make_train_step(cfg, tcfg, weights, schedule, stats,
                                smpl_n, smpl_m, smpl_f, optimizer, mesh=mesh)
 

@@ -200,6 +200,32 @@ def test_sample_bodies_bf16_close_to_f32(setup):
     assert np.mean(np.abs(a - b)) < 0.05
 
 
+def test_bf16_path_runs_denoiser_in_bf16(setup):
+    """Dtype regression guard: with cast params + a bf16 image, the WHOLE
+    conditioning tensor and the denoiser run in bf16 — mixed-dtype concats
+    (transl/cam feats) and the f32 adjacency constant must not silently
+    promote everything back to f32 (found in round 3: the 'bf16' pipeline
+    was running the GCN in f32 through exactly those promotions). The betas
+    head deliberately stays f32."""
+    from egohmr_tpu.nn.core import cast_params_bf16
+
+    cfg, params, stats, smpl, batch = setup
+    bparams = cast_params_bf16(params)
+    b16 = dict(batch)
+    b16["img"] = b16["img"].astype(jnp.bfloat16)
+    cond, _ = compute_condition(bparams, cfg, b16)
+    assert cond.cond.dtype == jnp.bfloat16
+    assert cond.cond_uncond.dtype == jnp.bfloat16
+    assert cond.scene_pcd.dtype == jnp.float32   # guidance/metrics input
+    assert cond.pred_betas.dtype == jnp.float32  # full-precision head
+    denoise = make_denoise_fn(bparams, cfg, cond)
+    x = jnp.zeros((2, 144), jnp.bfloat16)
+    t = jnp.zeros((2,), jnp.int32)
+    out = denoise(x, t)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_cast_params_bf16_detects_bn_structurally():
     """BN dicts are recognized by their {scale, bias, mean, var} key set, not
     by the parent key containing 'bn' (round-2 advisor finding): a BN stored

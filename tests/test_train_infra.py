@@ -242,3 +242,81 @@ def test_train_step_does_not_retrace():
     for i in range(3):
         p, o, _ = step(p, o, batch, jax.random.PRNGKey(i))
     assert step._cache_size() == 1, step._cache_size()
+
+
+def test_batchnorm_train_bf16_stats_match_f32():
+    """Train-mode BN with bf16 activations: batch statistics are computed in
+    f32 (a bf16 mean2 - mean^2 is catastrophically lossy), the running stats
+    stay f32, and the normalized output stays bf16 via the folded
+    scale/shift (no silent promotion)."""
+    from egohmr_tpu.nn.core import batchnorm, bn_init
+
+    p = bn_init(8)
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, 8)) * 3.0 + 1.0
+    y32, n32 = batchnorm(p, x, train=True, reduce_axes=(0,))
+    y16, n16 = batchnorm(p, x.astype(jnp.bfloat16), train=True,
+                         reduce_axes=(0,))
+    assert y16.dtype == jnp.bfloat16
+    assert n16["mean"].dtype == jnp.float32
+    assert n16["var"].dtype == jnp.float32
+    # stats differ only through the bf16 rounding of the INPUT
+    np.testing.assert_allclose(np.asarray(n16["mean"]), np.asarray(n32["mean"]),
+                               atol=5e-2)
+    np.testing.assert_allclose(np.asarray(n16["var"]), np.asarray(n32["var"]),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               atol=0.12)
+
+
+def test_mixed_precision_grads_close_to_f32():
+    """bf16 forward/backward gradients point the same way as f32 gradients:
+    global cosine similarity of the flattened grad tree close to 1."""
+    from egohmr_tpu.train.loop import stage2_loss
+
+    params, stats, smpl, schedule, tcfg, opt = _setup()
+    batch = synthetic_batch(2, num_scene_points=64, img_size=32)
+    key = jax.random.PRNGKey(7)
+
+    def grads(mixed):
+        g = jax.grad(stage2_loss, has_aux=True)(
+            params, TINY, LossWeights(), schedule, stats, smpl, smpl, smpl,
+            batch, key, use_collision=False, mixed_precision=mixed)[0]
+        flat = jnp.concatenate(
+            [l.reshape(-1) for l in jax.tree_util.tree_leaves(g)])
+        return np.asarray(flat, np.float64)
+
+    g32, g16 = grads(False), grads(True)
+    assert np.isfinite(g16).all()
+    # every grad leaf lands f32 on the f32 master params
+    gtree = jax.grad(stage2_loss, has_aux=True)(
+        params, TINY, LossWeights(), schedule, stats, smpl, smpl, smpl,
+        batch, key, use_collision=False, mixed_precision=True)[0]
+    for path, leaf in jax.tree_util.tree_leaves_with_path(gtree):
+        assert leaf.dtype == jnp.float32, jax.tree_util.keystr(path)
+    cos = g32 @ g16 / (np.linalg.norm(g32) * np.linalg.norm(g16) + 1e-30)
+    assert cos > 0.99, cos
+
+
+def test_mixed_precision_step_preserves_f32_state():
+    """One mixed-precision optimizer step: params and AdamW state remain
+    fully f32 (no bf16 leaks through the BN-state merge), BN variance stays
+    positive, loss finite, and the jitted step does not retrace."""
+    params, stats, smpl, schedule, _, _ = _setup()
+    tcfg = TrainConfig(mixed_precision=True)
+    opt = make_optimizer(tcfg)
+    step = make_train_step(TINY, tcfg, LossWeights(), schedule, stats,
+                           smpl, smpl, smpl, opt)
+    opt_state = opt.init(params)
+    batch = synthetic_batch(2, num_scene_points=64, img_size=32)
+    p, o = params, opt_state
+    for i in range(2):
+        p, o, metrics = step(p, o, batch, jax.random.PRNGKey(i))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(p):
+        assert leaf.dtype == jnp.float32, jax.tree_util.keystr(path)
+    for leaf in jax.tree_util.tree_leaves(o):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    var = np.asarray(p["diffusion_model"]["gconv_input"]["bn"]["var"])
+    assert (var > 0).all()
+    assert np.isfinite(float(metrics["loss"]))
+    assert step._cache_size() == 1
