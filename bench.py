@@ -102,6 +102,14 @@ def main():
                          "thread) instead of the raw pipeline — the "
                          "steady-state requests/s a deployed replica "
                          "sustains, host readback included")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the full training step (fwd+bwd+AdamW+"
+                         "BN-state merge) at the recorded round-3 config: "
+                         "batch 16, 20k scene points, collision loss ON. "
+                         "Default measures the TPU-native mixed-precision "
+                         "(bf16) step (TrainConfig.mixed_precision / CLI "
+                         "--mixed_precision); --f32 measures the exact-"
+                         "parity f32 step (the training default)")
     ap.add_argument("--host", action="store_true",
                     help="measure the HOST input pipeline (JPEG decode + "
                          "crop-warp + normalize) on real-sized 1920x1080 "
@@ -127,6 +135,8 @@ def main():
         return _guided_bench(args)
     if args.serving:
         return _serving_bench(args)
+    if args.train:
+        return _train_bench(args)
 
     import jax.numpy as jnp
 
@@ -532,6 +542,96 @@ def _serving_bench(args):
     print(json.dumps(res))
     if not args.quick:
         _write_sidecar(res["metric"], {
+            "value": res["value"], "unit": res["unit"],
+            "extra": res["extra"], "measured_unix": round(time.time(), 1),
+        })
+
+
+def _train_bench(args):
+    """Full training-step throughput on chip (fwd+bwd+AdamW+BN-state merge).
+
+    Mirrors the recorded round-3 measurement config: batch 16, 20k scene
+    points, collision loss ON (bbox-ranked static cap 4096), full-size
+    model, synthetic SMPL (6890 verts), schedule 50/cosine — the same step
+    `train_egohmr` jits (train/loop.py make_train_step, single device).
+    Default measures the mixed-precision (bf16) step — the TPU-native speed
+    knob added round 3 (TrainConfig.mixed_precision / CLI
+    --mixed_precision); `--f32` measures the exact-parity f32 step (the
+    training default). State (params + AdamW moments) is threaded through
+    the chain, so each call is a REAL optimizer step, and completion is
+    forced by downloading the final loss scalar (MEASUREMENT RULE 2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from egohmr_tpu.data.synthetic import synthetic_batch
+    from egohmr_tpu.diffusion import make_schedule
+    from egohmr_tpu.models import (
+        BodyRepStats,
+        EgoHMRConfig,
+        LossWeights,
+        init_egohmr,
+    )
+    from egohmr_tpu.smpl import make_synthetic_model
+    from egohmr_tpu.train.loop import TrainConfig, make_optimizer, make_train_step
+
+    mp = not args.f32
+    if args.quick:
+        cfg = EgoHMRConfig(
+            img_feat_dim=128, backbone_type="stub", scene_feat_dim=64,
+            pointnet_hidden_dim=32, transl_embed_dim=32,
+            timestep_embed_dim=64, input_process_dim=64, gcn_hid_dim=128,
+            gcn_layers=2,
+        )
+        B, P, V = 4, 2048, 512
+    else:
+        cfg = EgoHMRConfig()
+        B, P, V = 16, 20000, 6890
+    params = init_egohmr(jax.random.PRNGKey(0), cfg)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=V)
+    schedule = make_schedule(50, "cosine", "")
+    weights = LossWeights()
+    tcfg = TrainConfig(use_collision_loss=True, mixed_precision=mp)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, tcfg, weights, schedule, stats,
+                           smpl, smpl, smpl, optimizer, mesh=None)
+    batch = synthetic_batch(B, num_scene_points=P)
+
+    state = [params, opt_state]
+
+    def call(i):
+        p, o, metrics = step(state[0], state[1], batch, jax.random.PRNGKey(i))
+        state[0], state[1] = p, o
+        return metrics["loss"]
+
+    dt, lat, compile_s = _chain_throughput(call, args.iters,
+                                           measure_latency=True)
+    ips = B / dt
+    dtype = "bf16_mixed" if mp else "float32"
+    print(f"# train[{dtype}]: compile {compile_s:.1f}s, blocking p50 "
+          f"{lat*1e3:.1f}ms, steady-state {dt*1e3:.1f}ms/step -> "
+          f"{ips:.1f} imgs/s", file=sys.stderr)
+    res = {
+        "metric": "train_step_imgs_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "imgs/s",
+        "vs_baseline": None,
+        "extra": {
+            "batch_size": B,
+            "scene_points": P,
+            "collision_loss": True,
+            "precision": dtype,
+            "ms_per_step_steady_state": round(dt * 1e3, 2),
+            "p50_blocking_latency_ms": round(lat * 1e3, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(res))
+    if not args.quick:
+        _write_sidecar(f"train_step_{'bf16' if mp else 'f32'}"
+                       "_imgs_per_sec_per_chip", {
             "value": res["value"], "unit": res["unit"],
             "extra": res["extra"], "measured_unix": round(time.time(), 1),
         })
