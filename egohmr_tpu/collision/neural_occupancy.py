@@ -52,6 +52,27 @@ class OccupancyConfig:
     part_embed_dim: int = 0
     # soft scale applied to the sdf -> occupancy label during distillation
     label_sharpness: float = 50.0
+    # exact-COAP layout: SEPARATE encoder/decoder weights per part (the
+    # published COAP keys its networks by part index) instead of one shared
+    # net + part code. Param leaves are STACKED over the part axis
+    # ([K, in, out]) so the forward is one part-batched einsum — the
+    # TPU-native formulation of "24 small MLPs" (no Python loop over parts,
+    # one MXU-friendly contraction). Populated by interop.convert_coap().
+    per_part_networks: bool = False
+    # activation of the per-part nets (the published COAP uses LeakyReLU;
+    # the distilled family uses ReLU)
+    activation: str = "relu"
+    leaky_slope: float = 0.01
+
+
+def _activation(cfg: OccupancyConfig):
+    if cfg.activation == "relu":
+        return relu
+    if cfg.activation == "leaky_relu":
+        return lambda x: jax.nn.leaky_relu(x, cfg.leaky_slope)
+    if cfg.activation == "softplus":
+        return jax.nn.softplus
+    raise ValueError(f"unknown occupancy activation: {cfg.activation}")
 
 
 def init_occupancy(key: Array, cfg: OccupancyConfig = OccupancyConfig()) -> dict:
@@ -82,10 +103,23 @@ def init_occupancy(key: Array, cfg: OccupancyConfig = OccupancyConfig()) -> dict
 
 
 def load_occupancy(path: str) -> Tuple[dict, OccupancyConfig]:
-    """Load a distilled occupancy artifact (.npz + .json sidecar written by
-    `python -m egohmr_tpu.train.distill_occupancy`)."""
+    """Load collision-net weights for the occupancy backend.
+
+    * `.npz` (+ `.json` sidecar): a distilled artifact written by
+      `python -m egohmr_tpu.train.distill_occupancy`;
+    * `.pt` / `.pth`: a pretrained COAP release checkpoint — converted
+      through `interop.coap_convert.convert_coap` into the
+      `per_part_networks` layout (weight drop-in path; reference
+      egohmr.py:117 `attach_coap`).
+    """
     import json
     import os
+
+    if path.endswith((".pt", ".pth")):
+        from ..interop.coap_convert import convert_coap
+        from ..interop.torch_convert import load_torch_checkpoint
+
+        return convert_coap(load_torch_checkpoint(path))
 
     from ..utils.checkpoint import load_npz_into
 
@@ -141,6 +175,29 @@ def occupancy_query(
         enc_feats.append(jnp.broadcast_to(
             params["part_embed"][None], (B, 24, cfg.part_embed_dim)))
     feats = jnp.concatenate(enc_feats, axis=-1)
+
+    if cfg.per_part_networks:
+        # exact-COAP layout: per-part weight stacks, part-batched einsums
+        act = _activation(cfg)
+        h = feats  # [B, 24, Din]
+        enc = params["part_encoder"]
+        for i, lp in enumerate(enc):
+            h = jnp.einsum("bkd,kdo->bko", h, lp["w"]) + lp["b"]
+            if i < len(enc) - 1:
+                h = act(h)
+        latent = h
+        x = jnp.concatenate(
+            [local, jnp.broadcast_to(latent[:, :, None, :],
+                                     (B, 24, P, latent.shape[-1]))], axis=-1)
+        dec = params["part_decoder"]
+        for i, lp in enumerate(dec):
+            x = (jnp.einsum("bkpd,kdo->bkpo", x, lp["w"])
+                 + lp["b"][:, None, :])
+            if i < len(dec) - 1:
+                x = act(x)
+        logits = x[..., 0]  # [B, 24, P]
+        return jax.nn.sigmoid(jnp.max(logits, axis=1))
+
     h = relu(linear(params["encoder"]["l0"], feats))
     latent = linear(params["encoder"]["l1"], h)  # [B, 24, D]
 

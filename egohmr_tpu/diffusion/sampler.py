@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,34 @@ Array = jax.Array
 DenoiseFn = Callable[[Array, Array], Array]
 # guidance_fn(x_t [B,D], t int32 [B]) -> gradient [B,D]
 GuidanceFn = Callable[[Array, Array], Array]
+
+
+class StatefulGuidanceFn(NamedTuple):
+    """Guidance with cross-step cached state, carried through the scan.
+
+    Adjacent low-noise guided steps move the body millimeters, so the
+    expensive gradient-free selection pass (full LBS + normals + per-step
+    top-K + nearest-vertex argmin) can be cached and reused between
+    refreshes — only the differentiable selective re-pose runs every
+    guided step. `init_state(x)` builds a zero state pytree; `fn(x, t,
+    state, refresh)` returns (grad, new_state) where `refresh` is a traced
+    bool — True recomputes the cached selection, False reuses it. The
+    sampler refreshes on the 1st, (1+refresh_every)-th, ... guided step.
+    """
+
+    init_state: Callable[[Array], Any]
+    fn: Callable[[Array, Array, Any, Array], Tuple[Array, Any]]
+    refresh_every: int = 2
+
+
+def _call_guidance(guidance_fn, x, t, gaux):
+    """Dispatch plain vs stateful guidance; returns (grad, new_gaux)."""
+    if isinstance(guidance_fn, StatefulGuidanceFn):
+        gstate, gcount = gaux
+        refresh = (gcount % guidance_fn.refresh_every) == 0
+        grad, new_state = guidance_fn.fn(x, t, gstate, refresh)
+        return grad, (new_state, gcount + 1)
+    return guidance_fn(x, t), gaux
 
 
 @dataclass(frozen=True)
@@ -57,10 +85,10 @@ def _ddpm_step(
     guidance_fn: Optional[GuidanceFn],
     gcfg: GuidanceConfig,
     collect: bool,
-    carry: Tuple[Array, Array],
+    carry: Tuple[Array, Array, Any],
     t_idx: Array,
 ):
-    x, key = carry
+    x, key, gaux = carry
     bs = x.shape[0]
     t = jnp.full((bs,), t_idx, dtype=jnp.int32)
     t_orig = schedule.timestep_map[t]
@@ -69,18 +97,19 @@ def _ddpm_step(
     mean = q_posterior_mean(schedule, pred_xstart, x, t)
 
     if guidance_fn is not None:
-        def guided(mean):
-            grad = guidance_fn(x, t)
+        def guided(op):
+            mean, gaux = op
+            grad, gaux = _call_guidance(guidance_fn, x, t, gaux)
             var = schedule.posterior_variance[t][:, None]
             coeff = jnp.where(
                 t_idx >= gcfg.ddpm_fixed_below,
                 gcfg.cond_grad_weight * var,
                 gcfg.cond_grad_weight * gcfg.ddpm_fixed_coeff,
             )
-            return mean + coeff * grad
+            return mean + coeff * grad, gaux
 
-        mean = jax.lax.cond(
-            t_idx <= gcfg.ddpm_threshold, guided, lambda m: m, mean
+        mean, gaux = jax.lax.cond(
+            t_idx <= gcfg.ddpm_threshold, guided, lambda op: op, (mean, gaux)
         )
 
     key, sub = jax.random.split(key)
@@ -88,7 +117,7 @@ def _ddpm_step(
     nonzero = (t_idx != 0).astype(x.dtype)
     sigma = jnp.exp(0.5 * schedule.posterior_log_variance_clipped[t])[:, None]
     sample = mean + nonzero * sigma * noise
-    return (sample, key), (sample if collect else None)
+    return (sample, key, gaux), (sample if collect else None)
 
 
 def _ddim_step(
@@ -98,10 +127,10 @@ def _ddim_step(
     gcfg: GuidanceConfig,
     eta: float,
     collect: bool,
-    carry: Tuple[Array, Array],
+    carry: Tuple[Array, Array, Any],
     t_idx: Array,
 ):
-    x, key = carry
+    x, key, gaux = carry
     bs = x.shape[0]
     t = jnp.full((bs,), t_idx, dtype=jnp.int32)
     t_orig = schedule.timestep_map[t]
@@ -111,15 +140,17 @@ def _ddim_step(
     if guidance_fn is not None:
         # reference ddim_sample_with_grad (gaussian_diffusion.py:581-593):
         # shift eps by -sqrt(1-ᾱ)·grad·scale, re-derive x0.
-        def guided(x0):
+        def guided(op):
+            x0, gaux = op
             alpha_bar = schedule.alphas_cumprod[t][:, None]
             eps = predict_eps_from_xstart(schedule, x, t, x0)
-            grad = guidance_fn(x, t)
+            grad, gaux = _call_guidance(guidance_fn, x, t, gaux)
             eps = eps - jnp.sqrt(1.0 - alpha_bar) * grad * gcfg.ddim_scale
-            return predict_xstart_from_eps(schedule, x, t, eps)
+            return predict_xstart_from_eps(schedule, x, t, eps), gaux
 
-        pred_xstart = jax.lax.cond(
-            t_idx <= gcfg.ddim_threshold, guided, lambda x0: x0, pred_xstart
+        pred_xstart, gaux = jax.lax.cond(
+            t_idx <= gcfg.ddim_threshold, guided, lambda op: op,
+            (pred_xstart, gaux)
         )
 
     eps = predict_eps_from_xstart(schedule, x, t, pred_xstart)
@@ -138,7 +169,7 @@ def _ddim_step(
     noise = jax.random.normal(sub, x.shape, x.dtype)
     nonzero = (t_idx != 0).astype(x.dtype)
     sample = mean_pred + nonzero * sigma * noise
-    return (sample, key), (sample if collect else None)
+    return (sample, key, gaux), (sample if collect else None)
 
 
 def sample_loop(
@@ -202,7 +233,10 @@ def sample_loop(
     else:
         raise ValueError(f"unknown sampler: {sampler}")
 
-    (x_final, _), traj = jax.lax.scan(step, (x, key), indices)
+    gaux = ()
+    if isinstance(guidance_fn, StatefulGuidanceFn):
+        gaux = (guidance_fn.init_state(x), jnp.zeros((), jnp.int32))
+    (x_final, _, _), traj = jax.lax.scan(step, (x, key, gaux), indices)
     # at t=0: nonzero-mask kills the noise and mean == pred_xstart (DDPM) /
     # mean_pred == pred_xstart (DDIM, ᾱ_prev=1), so x_final IS pred_xstart.
     if collect:

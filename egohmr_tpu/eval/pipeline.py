@@ -67,6 +67,8 @@ def sample_bodies(
     occ_params: Optional[dict] = None,
     occ_cfg=None,
     bf16: bool = False,
+    params_precast: bool = False,
+    guidance_refresh_every: int = 1,
 ) -> Tuple[Dict[str, Array], Condition]:
     """Draw `num_samples` bodies per image; outputs have shape [B, S, ...].
 
@@ -75,6 +77,10 @@ def sample_bodies(
     `collision_backend` selects the guidance gradient source: the exact
     mesh SDF ('sdf', default) or the distilled learned occupancy
     ('occupancy', the COAP-family path — reference egohmr.py:517-605).
+    `guidance_refresh_every` > 1 reuses the guided-step selection pass
+    (nearest vertices / signs / scoring points) across that many adjacent
+    guided steps — a measured speed/approximation knob (see
+    `make_guidance_fn`); 1 is exact. sdf backend only.
     """
     if use_stage1_transl and "stage1_transl_full" in batch:
         batch = dict(batch)
@@ -85,10 +91,13 @@ def sample_bodies(
     if bf16:
         # low-precision conditioning + denoiser (BN stats stay f32 and fold
         # into the activation dtype — nn.core.batchnorm); sampler math,
-        # guidance, SMPL and metrics stay float32
+        # guidance, SMPL and metrics stay float32. `params_precast` means
+        # the caller already holds a bf16 tree (e.g. serving.Predictor casts
+        # ONCE at startup instead of per compiled request).
         from ..nn.core import cast_params_bf16
 
-        params = cast_params_bf16(params)
+        if not params_precast:
+            params = cast_params_bf16(params)
         batch = dict(batch)
         batch["img"] = batch["img"].astype(jnp.bfloat16)
         # the scene cloud stays f32: compute_condition casts only the
@@ -120,7 +129,9 @@ def sample_bodies(
             guidance_fn = make_occupancy_guidance_fn(
                 occ_params, occ_cfg, smpl, cond_s, stats)
         else:
-            guidance_fn = make_guidance_fn(params, cfg, smpl, cond_s, stats)
+            guidance_fn = make_guidance_fn(
+                params, cfg, smpl, cond_s, stats,
+                selection_refresh_every=guidance_refresh_every)
     _, x0 = sample_loop(
         schedule, denoise, key, (B * num_samples, 144),
         sampler=sampler, guidance_fn=guidance_fn, guidance=guidance,

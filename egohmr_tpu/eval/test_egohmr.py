@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--with_coap_grad", type=b, default=True,
                    help="collision-guided sampling (DDPM only)")
     p.add_argument("--cond_grad_weight", type=float, default=2.0)
+    p.add_argument("--guidance_refresh", type=int, default=1,
+                   help="recompute the guided-step selection pass only "
+                        "every N-th guided step, reusing it in between "
+                        "(1 = exact, the reference behavior; 2/4 trade a "
+                        "measured approximation for speed — PARITY.md)")
     p.add_argument("--collision_backend", type=str, default="sdf",
                    choices=["sdf", "occupancy"],
                    help="'sdf': exact mesh SDF; 'occupancy': distilled "
@@ -208,6 +213,7 @@ def main(argv=None):
             guidance=guidance, use_stage1_transl=args.two_stage,
             collision_backend=args.collision_backend,
             occ_params=occ_params, occ_cfg=occ_cfg, bf16=args.bf16,
+            guidance_refresh_every=max(1, args.guidance_refresh),
         )
         return evaluate_batch(
             cfg, smpl_n, smpl_m, smpl_f, batch, outputs, cond,

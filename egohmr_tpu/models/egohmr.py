@@ -435,6 +435,7 @@ def make_guidance_fn(
     sdf_block_size: int = 2048,
     max_scene_points: Optional[int] = 4096,
     per_step_points: Optional[int] = 1024,
+    selection_refresh_every: int = 1,
 ):
     """Collision-score gradient w.r.t. x_t (reference guide_coll,
     egohmr.py:517-605), batched with static shapes.
@@ -474,6 +475,18 @@ def make_guidance_fn(
       argmin index and the inside/outside sign are piecewise-constant in
       x_t, so differentiating only the selected-vertex distance IS the
       full gradient (tests pin it against the straightforward formulation).
+
+    `selection_refresh_every`: cross-step reuse of the gradient-free
+    selection pass. 1 (default) recomputes selection every guided step —
+    exact. N>1 returns a `StatefulGuidanceFn`: the sampler carries
+    (pts, mask, nn_idx, sign) across guided steps and refreshes them on
+    every N-th guided step; between refreshes only the differentiable
+    selective re-pose runs. APPROXIMATION: between refreshes the selected
+    points/vertices/signs are those of a body a few denoising steps old —
+    adjacent low-noise guided steps (t<=3 DDIM / t<=10 DDPM) move the
+    body millimeters, so the gradient direction error is small (pinned by
+    tests/test_egohmr_model.py); the final sample deviation is measured
+    in PARITY.md.
     """
     scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]  # [1,24,1]
     betas = jax.lax.stop_gradient(cond.pred_betas)
@@ -482,44 +495,78 @@ def make_guidance_fn(
         topk_scene_points,
         topk_scene_points_near_body,
     )
+    from ..diffusion.sampler import StatefulGuidanceFn
     from ..smpl.model import lbs_apply_select, lbs_transforms
 
     scene = topk_scene_points(
         jax.lax.stop_gradient(cond.scene_pcd), max_scene_points)
+    do_cap = (per_step_points is not None
+              and per_step_points < scene.shape[1])
+    if do_cap:
+        # fixed pre-shuffle: the per-step top-K ranks all in-bbox points at
+        # distance 0, so ties break by ARRAY index — on spatially-ordered
+        # crops that eviction is spatially biased when the bbox holds > K2
+        # points. A fixed permutation makes the tie-break spatially unbiased
+        # (the static-shape analogue of the reference's random subsample,
+        # egohmr.py:409-412) while staying deterministic across runs.
+        perm = np.random.RandomState(0).permutation(scene.shape[1])
+        scene = scene[:, jnp.asarray(perm)]
+    K2 = per_step_points if do_cap else scene.shape[1]
 
-    def neg_collision(x_t: Array) -> Array:
+    def selection(x_t: Array):
+        """Gradient-free full pass: posed mesh -> (pts, mask, nn_idx, sign)."""
         pose6d = x_t * stats.std + stats.mean
         rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
-
-        # ---- gradient-free full pass: posed mesh -> selection/sign/mask
         rotmat_sg = jax.lax.stop_gradient(rotmat)
         out = lbs(smpl_model, betas, rotmat_sg[:, :1], rotmat_sg[:, 1:],
                   pose2rot=False)
         verts_sg = out.vertices
         normals = vertex_normals(verts_sg, smpl_model.faces)
         pts = scene
-        if per_step_points is not None and per_step_points < scene.shape[1]:
-            pts = topk_scene_points_near_body(scene, verts_sg, per_step_points)
+        if do_cap:
+            pts = topk_scene_points_near_body(scene, verts_sg, K2)
         mask = bbox_mask(pts, verts_sg)
         nn = nearest_vertex(pts, verts_sg, block_size=sdf_block_size)
         n_sel = jnp.take_along_axis(normals, nn.idx[..., None], axis=1)
         v_sel_sg = jnp.take_along_axis(verts_sg, nn.idx[..., None], axis=1)
         sign = jnp.sign(jnp.sum((pts - v_sel_sg) * n_sel, axis=-1))
         sign = jnp.where(sign == 0, 1.0, sign)
+        return (pts, mask, nn.idx, sign)
 
-        # ---- differentiable selective pass: re-pose ONLY the selected verts
+    def neg_collision(x_t: Array, sel) -> Array:
+        # differentiable selective pass: re-pose ONLY the selected verts
+        pts, mask, idx, sign = sel
+        pose6d = x_t * stats.std + stats.mean
+        rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
         _, pf, _, rel = lbs_transforms(smpl_model, betas, rotmat)
-        v_near = lbs_apply_select(smpl_model, betas, pf, rel, nn.idx)
+        v_near = lbs_apply_select(smpl_model, betas, pf, rel, idx)
         sdf = sign * jnp.linalg.norm(pts - v_near, axis=-1)
         loss = collision_loss(sdf, mask.astype(sdf.dtype))  # [B]
         return -jnp.mean(loss)
 
-    def fn(x_t: Array, t: Array) -> Array:
-        grad = jax.grad(neg_collision)(x_t)  # [B, 144]
+    def grad_given(x_t: Array, sel) -> Array:
+        grad = jax.grad(neg_collision)(x_t, sel)  # [B, 144]
         grad = grad.reshape(-1, 24, 6) * scale
         return grad.reshape(x_t.shape[0], 144)
 
-    return fn
+    if selection_refresh_every <= 1:
+        def fn(x_t: Array, t: Array) -> Array:
+            return grad_given(x_t, selection(x_t))
+
+        return fn
+
+    def init_state(x: Array):
+        B = x.shape[0]
+        return (jnp.zeros((B, K2, 3), scene.dtype),
+                jnp.zeros((B, K2), bool),
+                jnp.zeros((B, K2), jnp.int32),
+                jnp.zeros((B, K2), scene.dtype))
+
+    def sfn(x_t: Array, t: Array, state, refresh: Array):
+        sel = jax.lax.cond(refresh, selection, lambda _: state, x_t)
+        return grad_given(x_t, sel), sel
+
+    return StatefulGuidanceFn(init_state, sfn, selection_refresh_every)
 
 
 # ----------------------------------------------------------------- outputs

@@ -90,6 +90,12 @@ class Predictor:
         max_inflight: int = 4,
         output_keys=_OUTPUT_KEYS,
         pointnet_impl: Optional[str] = "fused",
+        # dtype of the single packed readback buffer. float32 is lossless;
+        # jnp.float16 halves the device->host bytes at ~1e-3 relative
+        # rounding (≈1-2 mm on metric keypoints) — worth it only when the
+        # serving link is transfer-bound (measured decomposition in
+        # BASELINE.md round 4)
+        pack_dtype=jnp.float32,
     ):
         """`mesh`: optional 1-D `jax.sharding.Mesh` — each request's batch is
         sharded over its devices (data parallelism; the whole pipeline is
@@ -120,20 +126,27 @@ class Predictor:
             outs, _ = sample_bodies(
                 params, cfg, smpl, stats, schedule, batch, key,
                 num_samples, sampler=sampler, with_guidance=with_guidance,
-                guidance=guidance, bf16=bf16,
+                guidance=guidance, bf16=bf16, params_precast=bf16,
             )
             return {k: outs[k] for k in self._output_keys if k in outs}
 
         def _run(params, batch, key):
             outs = _run_dict(params, batch, key)
-            # pack everything into ONE [B, S, sum(D)] f32 buffer: a single
+            # pack everything into ONE [B, S, sum(D)] buffer: a single
             # device->host transfer per request instead of one per key
             # (each D2H round trip has a fixed cost — substantial over
             # remote/tunneled transports)
-            flat = [outs[k].astype(jnp.float32).reshape(
+            flat = [outs[k].astype(pack_dtype).reshape(
                 self.batch_size, self.num_samples, -1) for k in sorted(outs)]
             return jnp.concatenate(flat, axis=-1)
 
+        # cast the param tree to bf16 ONCE at startup — previously the cast
+        # ran inside the compiled program on every request (~full
+        # ResNet-50/GCN tree of HBM traffic per batch)
+        if bf16:
+            from .nn.core import cast_params_bf16
+
+            params = cast_params_bf16(params)
         # params travel as a jit ARGUMENT, not closure constants: a closure
         # embeds the full ResNet-50 tree as literals in the HLO, and the
         # remote TPU compiler rejects payloads past ~200 MB (HTTP 413 — the
@@ -182,7 +195,10 @@ class Predictor:
         out = {}
         for k, trail, off, size in self._layout:
             v = host[:n, :, off:off + size]
-            out[k] = v.reshape((n, self.num_samples) + tuple(trail))
+            # clients always see float32 (no-op copy for the default
+            # pack_dtype; converts when packing was fp16)
+            out[k] = v.reshape((n, self.num_samples) + tuple(trail)).astype(
+                np.float32, copy=False)
         return out
 
     def _gather(self, packed, n: int) -> Dict[str, np.ndarray]:
@@ -193,13 +209,22 @@ class Predictor:
         outs, n = self.submit(batch, seed=seed)
         return self._gather(outs, n)
 
-    def warmup(self, batch: Dict) -> None:
+    def warmup(self, batch: Optional[Dict] = None) -> None:
         """Trigger the (slow, cached) compile before taking traffic.
 
         `batch` must have the shapes real traffic will use (image size,
         scene-point count) — the program is compiled per shape, so warming
         on a synthetic default that doesn't match would burn a 15-30 min
         remote compile on a program no request ever runs."""
+        if batch is None:
+            raise ValueError(
+                "warmup() needs a representative batch: the program is "
+                "compiled PER SHAPE, and a mismatched warmup burns a "
+                "15-30 min remote compile on a program no request ever "
+                "runs. Pass a batch with real traffic's image size and "
+                "scene-point count, e.g. "
+                "egohmr_tpu.data.synthetic.synthetic_batch("
+                f"{self.batch_size}, num_scene_points=<your P>)")
         jax.block_until_ready(self.submit(batch)[0])
 
     # ------------------------------------------------------------ streaming

@@ -54,9 +54,13 @@ class TrainConfig:
     # forward/backward in bfloat16 (BN batch stats, SMPL, losses, grads,
     # master params and AdamW state all stay f32 — bf16 shares f32's
     # exponent range, so no loss scaling is needed). The reference trains
-    # pure f32 on GPU; this is the TPU-native speed knob (off by default
-    # for exact-parity training).
-    mixed_precision: bool = False
+    # pure f32 on GPU; bf16-mixed is the TPU-native TRAINING DEFAULT since
+    # round 4: measured 1.73x step rate (bench.py --train, BENCH_extra.json)
+    # with convergence evidence committed in
+    # artifacts/train_precision_overlay.json (1.5k on-chip steps: train-loss
+    # tail within 0.7% of f32, train-batch val kp3d_vis within 1.1%).
+    # Set False for exact-parity f32 training (CLI --mixed_precision false).
+    mixed_precision: bool = True
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:

@@ -68,11 +68,14 @@ def parse_args(argv=None):
     p.add_argument("--do_augment", type=b, default=True)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=1e-4)
-    p.add_argument("--mixed_precision", type=b, default=False,
+    p.add_argument("--mixed_precision", type=b, default=True,
                    help="bf16 forward/backward for encoders + denoiser; f32 "
                         "master params, BN stats, SMPL and losses (no loss "
                         "scaling needed on TPU — bf16 keeps f32's exponent "
-                        "range). Off by default for exact-parity training.")
+                        "range). DEFAULT since round 4 (1.73x step rate; "
+                        "convergence overlay committed in artifacts/"
+                        "train_precision_overlay.json). Pass "
+                        "'--mixed_precision false' for exact-parity f32.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_pretrained_ckpt", type=str, default="",
                    help=".pt (torch, backbone warm start) or orbax dir")

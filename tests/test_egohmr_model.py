@@ -303,3 +303,80 @@ def test_guidance_selective_backward_matches_straightforward(setup):
     got = np.asarray(guide(x, jnp.zeros((2,), jnp.int32))).reshape(2, 24, 6)
     np.testing.assert_allclose(got, want.reshape(2, 24, 6), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_guidance_stateful_plumbing_bit_exact(setup):
+    """The sampler's stateful-guidance carry (state + guided-step counter)
+    must not disturb anything else: a StatefulGuidanceFn that ignores its
+    state and calls the plain guidance reproduces the plain run
+    bit-for-bit (same RNG stream, same samples)."""
+    from egohmr_tpu.diffusion.sampler import StatefulGuidanceFn
+
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    sched = make_schedule(10, "cosine", "")
+    denoise = make_denoise_fn(params, cfg, cond)
+    exact = make_guidance_fn(params, cfg, smpl, cond, stats,
+                             sdf_block_size=256)
+    wrapped = StatefulGuidanceFn(
+        init_state=lambda x: jnp.zeros(()),
+        fn=lambda x, t, s, refresh: (exact(x, t), s),
+        refresh_every=1,
+    )
+    kwargs = dict(sampler="ddpm", guidance=GuidanceConfig())
+    x_a, _ = sample_loop(sched, denoise, jax.random.PRNGKey(1), (2, 144),
+                         guidance_fn=exact, **kwargs)
+    x_b, _ = sample_loop(sched, denoise, jax.random.PRNGKey(1), (2, 144),
+                         guidance_fn=wrapped, **kwargs)
+    np.testing.assert_array_equal(np.asarray(x_a), np.asarray(x_b))
+
+
+def test_guidance_refresh_grad_matches_exact_on_refresh_step(setup):
+    """On a refresh step the stateful guidance computes selection from the
+    CURRENT x_t — its gradient must equal the plain (exact) guidance
+    bit-for-bit (pure refactor of the same graph)."""
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    exact = make_guidance_fn(params, cfg, smpl, cond, stats,
+                             sdf_block_size=256, per_step_points=64)
+    stateful = make_guidance_fn(params, cfg, smpl, cond, stats,
+                                sdf_block_size=256, per_step_points=64,
+                                selection_refresh_every=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 144)) * 0.3
+    t = jnp.zeros((2,), jnp.int32)
+    state0 = stateful.init_state(x)
+    g_ref, sel = stateful.fn(x, t, state0, jnp.asarray(True))
+    g_exact = np.asarray(exact(x, t))
+    np.testing.assert_array_equal(np.asarray(g_ref), g_exact)
+    # and reusing the JUST-refreshed selection at the same x is also exact
+    g_reuse, _ = stateful.fn(x, t, sel, jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(g_reuse), g_exact)
+
+
+def test_guidance_selection_reuse_close_to_exact_sampling(setup):
+    """Guided DDPM with selection reuse (refresh every 2 guided steps) must
+    land near the exact guided run when guidance applies only to the
+    LOW-NOISE tail (the real configuration: t<=10 of 50 DDPM / t<=3 DDIM)
+    — there the body moves little between adjacent steps, so the stale
+    selection's deviation stays below the guidance's own effect."""
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    sched = make_schedule(10, "cosine", "")
+    denoise = make_denoise_fn(params, cfg, cond)
+    exact = make_guidance_fn(params, cfg, smpl, cond, stats,
+                             sdf_block_size=256)
+    reuse = make_guidance_fn(params, cfg, smpl, cond, stats,
+                             sdf_block_size=256, selection_refresh_every=2)
+    # guide only the last 3 of 10 steps — proportionally the reference's
+    # low-noise-tail regime (t<=10 of T=50)
+    kwargs = dict(sampler="ddpm", guidance=GuidanceConfig(ddpm_threshold=2))
+    key = jax.random.PRNGKey(1)
+    x_un, _ = sample_loop(sched, denoise, key, (2, 144))
+    x_ex, _ = sample_loop(sched, denoise, key, (2, 144),
+                          guidance_fn=exact, **kwargs)
+    x_re, _ = sample_loop(sched, denoise, key, (2, 144),
+                          guidance_fn=reuse, **kwargs)
+    effect = np.abs(np.asarray(x_ex) - np.asarray(x_un)).max()
+    dev = np.abs(np.asarray(x_re) - np.asarray(x_ex)).max()
+    assert effect > 0  # guidance actually did something in this setup
+    assert dev <= effect + 1e-6, (dev, effect)

@@ -1,0 +1,169 @@
+"""Decompose the serving-layer gap (round-3 verdict Weak #2 / Next #3).
+
+`bench.py --serving` reports steady-state `Predictor.map_batches`
+throughput; this tool breaks the per-batch wall time into its host-side
+components so the gap between serving and raw device compute is
+attributable instead of mysterious:
+
+  * submit_ms      — host time to pad + build the key + dispatch one
+                     request (async; no device wait),
+  * d2h_ms         — device->host readback of ONE already-finished packed
+                     buffer (np.asarray on a ready [B,S,sumD] array),
+  * blocking_ms    — full dispatch->readback round trip (p50),
+  * steady_ms      — steady-state per-batch wall time of map_batches at
+                     each max_inflight in --sweep,
+  * device_ms      — the raw compiled-pipeline device time measured the
+                     bench way (chained dispatch, scalar-download fence),
+                     on the SAME program (packed outputs included).
+
+Variants: --pack16 packs the readback buffer as float16 (half the D2H
+bytes); --samples N runs the paper setting (N diverse bodies per image).
+
+Prints one JSON line; results feed the BASELINE.md round-4 serving floor
+table. Each distinct (batch, samples, pack_dtype) is its own compiled
+program — first run through the remote compiler is slow, cached after.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--samples", type=int, default=1)
+    ap.add_argument("--pack16", action="store_true")
+    ap.add_argument("--sweep", type=str, default="1,2,4,8",
+                    help="comma-separated max_inflight values")
+    ap.add_argument("--stream", type=int, default=24,
+                    help="batches per steady-state stream measurement")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from egohmr_tpu.data.synthetic import synthetic_batch
+    from egohmr_tpu.diffusion import make_schedule
+    from egohmr_tpu.models import BodyRepStats, EgoHMRConfig, init_egohmr
+    from egohmr_tpu.serving import Predictor
+    from egohmr_tpu.smpl import make_synthetic_model
+
+    B, S = args.batch_size, args.samples
+    cfg = EgoHMRConfig()
+    params = init_egohmr(jax.random.PRNGKey(0), cfg)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=6890)
+    schedule = make_schedule(50, "cosine", "ddim5")
+    batch = synthetic_batch(B, num_scene_points=20000)
+
+    pred = Predictor(
+        params, cfg, smpl, stats, schedule, batch_size=B, num_samples=S,
+        pack_dtype=jnp.float16 if args.pack16 else jnp.float32)
+
+    t0 = time.time()
+    pred.warmup(batch)
+    compile_s = time.time() - t0
+    print(f"# warmup/compile {compile_s:.1f}s", file=sys.stderr)
+
+    # --- submit host cost (async dispatch only)
+    ts = []
+    for i in range(8):
+        t0 = time.time()
+        packed, _ = pred.submit(batch, seed=1000 + i)
+        ts.append(time.time() - t0)
+    jax.block_until_ready(packed)
+    submit_ms = sorted(ts)[len(ts) // 2] * 1e3
+
+    # --- D2H of a finished buffer
+    packed, _ = pred.submit(batch, seed=5)
+    jax.block_until_ready(packed)
+    _ = float(jnp.sum(packed))  # force completion under axon (CLAUDE.md)
+    ts = []
+    for _ in range(6):
+        t0 = time.time()
+        host = np.asarray(packed)
+        ts.append(time.time() - t0)
+    d2h_ms = sorted(ts)[len(ts) // 2] * 1e3
+    bytes_per_batch = host.nbytes
+
+    # --- blocking round trip p50
+    ts = []
+    for i in range(args.reps * 2):
+        t0 = time.time()
+        pred(batch, seed=2000 + i)
+        ts.append(time.time() - t0)
+    blocking_ms = sorted(ts)[len(ts) // 2] * 1e3
+
+    # --- raw device time of the SAME packed program (bench methodology:
+    # chained dispatch + scalar-download fence, chain differencing)
+    def chain(n, k0):
+        # `batch` is exactly batch_size, so no padding path is involved
+        t0 = time.time()
+        out = None
+        for i in range(n):
+            out = pred._jf(pred._params, batch, jax.random.PRNGKey(k0 + i))
+        float(jnp.sum(out))
+        return time.time() - t0
+
+    n1, n2 = 5, 15
+    d1 = min(chain(n1, 100), chain(n1, 200))
+    d2 = min(chain(n2, 300), chain(n2, 400))
+    device_ms = (d2 - d1) / (n2 - n1) * 1e3
+
+    # --- steady-state map_batches at each max_inflight
+    sweep = {}
+    for infl in [int(x) for x in args.sweep.split(",") if x]:
+        pred.max_inflight = infl
+        stream = [batch] * args.stream
+        # warm one pass (thread pool, first-batch effects)
+        for _ in pred.map_batches(stream[:4]):
+            pass
+        best = None
+        for _ in range(args.reps):
+            t0 = time.time()
+            n = 0
+            for out in pred.map_batches(stream):
+                n += 1
+            dt = (time.time() - t0) / n
+            best = dt if best is None else min(best, dt)
+        sweep[str(infl)] = round(best * 1e3, 2)
+        print(f"# max_inflight={infl}: {best*1e3:.2f} ms/batch "
+              f"-> {B * S / best:.1f} bodies/s", file=sys.stderr)
+
+    best_infl = min(sweep, key=lambda k: sweep[k])
+    steady_ms = sweep[best_infl]
+    res = {
+        "metric": "serving_profile",
+        "batch_size": B,
+        "num_samples": S,
+        "pack_dtype": "float16" if args.pack16 else "float32",
+        "packed_bytes_per_batch": int(bytes_per_batch),
+        "compile_s": round(compile_s, 1),
+        "submit_ms": round(submit_ms, 2),
+        "d2h_ms": round(d2h_ms, 2),
+        "blocking_ms": round(blocking_ms, 2),
+        "device_ms": round(device_ms, 2),
+        "steady_ms_by_inflight": sweep,
+        "best": {"max_inflight": int(best_infl),
+                 "steady_ms": steady_ms,
+                 "bodies_per_s": round(B * S / (steady_ms / 1e3), 1)},
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
