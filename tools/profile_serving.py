@@ -87,12 +87,12 @@ def main(argv=None):
     jax.block_until_ready(packed)
     submit_ms = sorted(ts)[len(ts) // 2] * 1e3
 
-    # --- D2H of a finished buffer
-    packed, _ = pred.submit(batch, seed=5)
-    jax.block_until_ready(packed)
-    _ = float(jnp.sum(packed))  # force completion under axon (CLAUDE.md)
+    # --- D2H of a finished buffer. A jax array CACHES its host copy after
+    # the first np.asarray, so each rep must use a FRESH buffer.
     ts = []
-    for _ in range(6):
+    for i in range(6):
+        packed, _ = pred.submit(batch, seed=50 + i)
+        _ = float(jnp.sum(packed))  # completion fence under axon (CLAUDE.md)
         t0 = time.time()
         host = np.asarray(packed)
         ts.append(time.time() - t0)
@@ -123,22 +123,27 @@ def main(argv=None):
     d2 = min(chain(n2, 300), chain(n2, 400))
     device_ms = (d2 - d1) / (n2 - n1) * 1e3
 
-    # --- steady-state map_batches at each max_inflight
+    # --- steady-state map_batches at each max_inflight. Stream-length
+    # DIFFERENCING (t(3n)-t(n))/(2n) cancels the pipeline fill/drain edges
+    # (a plain stream average at inflight=k inflates by ~k*(blocking-
+    # steady)/stream_len per batch — measured 7 ms/batch of bias at k=4,
+    # stream 24) — same methodology as bench.py --serving.
+    def run_stream(n):
+        t0 = time.time()
+        cnt = 0
+        for _ in pred.map_batches(dict(batch) for _ in range(n)):
+            cnt += 1
+        assert cnt == n
+        return time.time() - t0
+
     sweep = {}
+    n1 = max(args.stream // 3, 3)
     for infl in [int(x) for x in args.sweep.split(",") if x]:
         pred.max_inflight = infl
-        stream = [batch] * args.stream
-        # warm one pass (thread pool, first-batch effects)
-        for _ in pred.map_batches(stream[:4]):
-            pass
-        best = None
-        for _ in range(args.reps):
-            t0 = time.time()
-            n = 0
-            for out in pred.map_batches(stream):
-                n += 1
-            dt = (time.time() - t0) / n
-            best = dt if best is None else min(best, dt)
+        run_stream(2)  # warm thread pool / first-batch effects
+        d1 = min(run_stream(n1) for _ in range(args.reps))
+        d2 = min(run_stream(3 * n1) for _ in range(args.reps))
+        best = max(d2 - d1, 1e-9) / (2 * n1)
         sweep[str(infl)] = round(best * 1e3, 2)
         print(f"# max_inflight={infl}: {best*1e3:.2f} ms/batch "
               f"-> {B * S / best:.1f} bodies/s", file=sys.stderr)
