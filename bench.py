@@ -109,6 +109,12 @@ def main():
                          "thread) instead of the raw pipeline — the "
                          "steady-state requests/s a deployed replica "
                          "sustains, host readback included")
+    ap.add_argument("--pack16", action="store_true",
+                    help="with --serving: pack the readback buffer as "
+                         "float16 (halves D2H bytes for ~1e-3 relative "
+                         "rounding); recorded under a separate _pack16 "
+                         "sidecar key — the f32-pack number stays the "
+                         "serving number of record")
     ap.add_argument("--train", action="store_true",
                     help="measure the full training step (fwd+bwd+AdamW+"
                          "BN-state merge) at the recorded round-3 config: "
@@ -310,12 +316,15 @@ def main():
 
     # companion numbers measured on this chip by `bench.py --guided` /
     # `--guided-ddim` / `--serving` / `--train` runs live in
-    # BENCH_extra.json; a COMPACT {metric: value} summary rides along here
-    # (full entries incl. provenance stay in the sidecar file) so the
-    # driver-captured tail is never at risk of truncating the headline
+    # BENCH_extra.json; a COMPACT {metric: [value, git_rev]} summary rides
+    # along here (full entries stay in the sidecar file) so the driver-
+    # captured tail is never at risk of truncating the headline. The
+    # per-entry git_rev is the staleness marker: an entry whose rev != the
+    # top-level git_rev was measured on older code (round-3 provenance rule)
     sidecar = _read_sidecar()
     companions = (
-        {m: e.get("value") for m, e in sorted(sidecar.items())}
+        {m: [e.get("value"), e.get("git_rev")]
+         for m, e in sorted(sidecar.items())}
         if sidecar else None)
     # headline fields LAST: the driver records a bounded TAIL of stdout, so
     # the self-proving fields (metric/value/vs_baseline/git_rev) must sit at
@@ -484,7 +493,8 @@ def _guided_bench(args):
         _write_sidecar(metric, {
             "value": res["value"], "unit": res["unit"],
             "extra": res["extra"], "measured_unix": round(time.time(), 1),
-        }, mode=f"--{tag}")
+        }, mode=("--guided-ddim" if args.guided_ddim else "--guided")
+            + (f" --guidance-refresh {refresh}" if refresh > 1 else ""))
 
 
 def _serving_bench(args):
@@ -527,6 +537,7 @@ def _serving_bench(args):
     pred = Predictor(params, cfg, smpl, stats, schedule, batch_size=B,
                      num_samples=args.num_samples, sampler="ddim",
                      bf16=use_bf16,
+                     pack_dtype=jnp.float16 if args.pack16 else jnp.float32,
                      pointnet_impl=args.pointnet)
     batch = synthetic_batch(B, num_scene_points=P)
 
@@ -552,7 +563,8 @@ def _serving_bench(args):
           f"{dt*1e3:.1f}ms/batch -> {sps:.1f} bodies/s (host readback incl.)",
           file=sys.stderr)
     res = {
-        "metric": "serving_predictor_samples_per_sec_per_chip",
+        "metric": "serving_predictor_samples_per_sec_per_chip"
+                  + ("_pack16" if args.pack16 else ""),
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": None,
@@ -563,6 +575,7 @@ def _serving_bench(args):
             "ms_per_batch_steady_state": round(dt * 1e3, 2),
             "max_inflight": pred.max_inflight,
             "conditioning_dtype": "bfloat16" if use_bf16 else "float32",
+            "pack_dtype": "float16" if args.pack16 else "float32",
             "readback": "packed single-transfer numpy outputs per batch "
                         "(side thread) — host consumption included",
             "device": str(jax.devices()[0]),
@@ -573,7 +586,7 @@ def _serving_bench(args):
         _write_sidecar(res["metric"], {
             "value": res["value"], "unit": res["unit"],
             "extra": res["extra"], "measured_unix": round(time.time(), 1),
-        }, mode="--serving")
+        }, mode="--serving" + (" --pack16" if args.pack16 else ""))
 
 
 def _train_bench(args):

@@ -90,6 +90,9 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", type=b, default=True,
                    help="shard eval batches across all local devices "
                         "(batch_size must divide by the device count)")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a JAX platform (e.g. 'cpu'); needed because "
+                        "the axon sitecustomize overrides JAX_PLATFORMS")
     return p.parse_args(argv)
 
 
@@ -99,6 +102,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from ..diffusion import GuidanceConfig, make_schedule

@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--save_results", type=b, default=True)
     p.add_argument("--save_root", type=str, default="output_results/prohmr_scene")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default="",
+                   help="force a JAX platform (e.g. 'cpu'); needed because "
+                        "the axon sitecustomize overrides JAX_PLATFORMS")
     return p.parse_args(argv)
 
 
@@ -52,6 +55,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from ..eval.metrics import mpjpe, pa_mpjpe, v2v

@@ -162,7 +162,11 @@ def init_egohmr(key: Array, cfg: EgoHMRConfig, mean_betas: Optional[Array] = Non
     }
 
 
-_ADJ = jnp.asarray(C.joint_adjacency())
+# NUMPY on purpose: a module-level jnp.asarray would initialize the JAX
+# backend at `import egohmr_tpu` time — on the axon platform that blocks on
+# the remote TPU tunnel before the caller can force CPU (jax converts and
+# constant-folds this at trace time anyway)
+_ADJ = np.asarray(C.joint_adjacency(), dtype=np.float32)
 
 
 def _cam_feats(cfg: EgoHMRConfig, batch: Dict[str, Array]) -> Array:

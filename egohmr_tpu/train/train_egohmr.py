@@ -87,6 +87,9 @@ def parse_args(argv=None):
                    help="torchvision ImageNet resnet50 state_dict (.pt/.pth "
                         "or flat .npz) for backbone warm start — the "
                         "reference's default recipe (models/resnet.py:166-255)")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a JAX platform (e.g. 'cpu'); needed because "
+                        "the axon sitecustomize overrides JAX_PLATFORMS")
     return p.parse_args(argv)
 
 
@@ -96,6 +99,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from ..data.synthetic import synthetic_batch

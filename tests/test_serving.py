@@ -96,6 +96,34 @@ def test_mesh_sharded_predictor_matches_single_device():
                   mesh=make_mesh(8))
 
 
+def test_pack_dtype_float16_roundtrip(predictor):
+    """fp16 packing (halved D2H bytes) must hand clients float32 arrays that
+    match the lossless f32-packed outputs to fp16 rounding."""
+    params = init_egohmr(jax.random.PRNGKey(0), CFG)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=128)
+    schedule = make_schedule(50, "cosine", "ddim5")
+    p16 = Predictor(params, CFG, smpl, stats, schedule,
+                    batch_size=4, num_samples=2, output_keys=MESH_OUTPUT_KEYS,
+                    pack_dtype=jnp.float16)
+    batch = _mini_batch(4, seed=11)
+    ref = predictor(batch, seed=3)
+    out = p16(batch, seed=3)
+    for k, v in out.items():
+        assert v.dtype == np.float32, (k, v.dtype)
+        # fp16 has ~3 decimal digits; outputs here are O(1) meters/rot6d
+        np.testing.assert_allclose(v, ref[k], rtol=2e-3, atol=2e-3)
+
+
+def test_warmup_requires_batch(predictor):
+    """Bare warmup() must fail loudly (per-shape compile contract) instead
+    of silently compiling a program no request ever runs."""
+    with pytest.raises(ValueError, match="PER SHAPE"):
+        predictor.warmup()
+    # and a representative batch warms without error
+    predictor.warmup(_mini_batch(4))
+
+
 def test_guided_predictor_finite():
     """Predictor with collision-score guidance (DDPM) runs end-to-end."""
     from egohmr_tpu.diffusion import GuidanceConfig

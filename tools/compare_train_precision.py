@@ -43,6 +43,11 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+# (batch, scene_points, vertices) per mode — single source of truth for
+# both the runs and the persisted artifact's config block
+_DIMS = {"quick": (4, 2048, 512), "full": (16, 20000, 6890)}
+
+
 def _build(quick: bool):
     """Shared model/config construction for both precision runs."""
     import jax
@@ -51,6 +56,7 @@ def _build(quick: bool):
     from egohmr_tpu.models import BodyRepStats, EgoHMRConfig, init_egohmr
     from egohmr_tpu.smpl import make_synthetic_model
 
+    B, P, V = _DIMS["quick" if quick else "full"]
     if quick:
         cfg = EgoHMRConfig(
             img_feat_dim=128, backbone_type="stub", scene_feat_dim=64,
@@ -58,10 +64,8 @@ def _build(quick: bool):
             timestep_embed_dim=64, input_process_dim=64, gcn_hid_dim=128,
             gcn_layers=2,
         )
-        B, P, V = 4, 2048, 512
     else:
         cfg = EgoHMRConfig()
-        B, P, V = 16, 20000, 6890
     params0 = init_egohmr(jax.random.PRNGKey(0), cfg)
     stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
     smpl = make_synthetic_model(num_vertices=V)
@@ -247,8 +251,9 @@ def main(argv=None):
                 "summary": summary,
                 "config": {
                     "quick": args.quick, "eval_every": args.eval_every,
-                    "batch": 4 if args.quick else 16,
-                    "scene_points": 2048 if args.quick else 20000,
+                    "batch": _DIMS["quick" if args.quick else "full"][0],
+                    "scene_points":
+                        _DIMS["quick" if args.quick else "full"][1],
                     "collision_loss": True,
                     "device": jax.devices()[0].platform,
                     "git_rev": rev,

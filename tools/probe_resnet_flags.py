@@ -47,8 +47,9 @@ def worker(batch: int) -> None:
 
     @jax.jit
     def fwd(params, img, s):
-        # data-dependent input per rep (s) so the chain cannot collapse
-        return resnet_forward(params, img + s)
+        # data-dependent input per rep (s) so the chain cannot collapse;
+        # resnet_forward returns (feats, new_params) — time the feats path
+        return resnet_forward(params, img + s)[0]
 
     def chain(n, k0):
         t0 = time.time()
