@@ -123,6 +123,10 @@ def main():
                          "— the TRAINING DEFAULT since round 4 "
                          "(TrainConfig.mixed_precision); --f32 measures "
                          "the exact-parity f32 escape hatch")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (for --quick smokes when "
+                         "the axon TPU tunnel is down; the sitecustomize "
+                         "overrides JAX_PLATFORMS, so an env var cannot)")
     ap.add_argument("--host", action="store_true",
                     help="measure the HOST input pipeline (JPEG decode + "
                          "crop-warp + normalize) on real-sized 1920x1080 "
@@ -139,6 +143,8 @@ def main():
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     # first TPU compile of the full pipeline is ~15 min through the remote
     # compiler; persist it so repeat bench runs start in seconds
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
