@@ -127,6 +127,10 @@ def main():
                     help="force the CPU backend (for --quick smokes when "
                          "the axon TPU tunnel is down; the sitecustomize "
                          "overrides JAX_PLATFORMS, so an env var cannot)")
+    ap.add_argument("--no-tunnel-probe", action="store_true",
+                    help="skip the bounded TPU-reachability pre-probe "
+                         "(saves ~startup cost when the tunnel is known "
+                         "healthy)")
     ap.add_argument("--host", action="store_true",
                     help="measure the HOST input pipeline (JPEG decode + "
                          "crop-warp + normalize) on real-sized 1920x1080 "
@@ -140,6 +144,31 @@ def main():
 
     if args.host:
         return _host_bench(args)
+
+    if not args.cpu and not args.no_tunnel_probe:
+        # the axon TPU lives behind a tunnel that can be DOWN for hours, and
+        # backend init then hangs indefinitely — probe it in a bounded
+        # subprocess first so a driver-run bench fails FAST with an honest
+        # JSON line instead of silently eating the driver's whole timeout
+        # (healthy init is seconds; a down tunnel times out at 10 min)
+        import subprocess
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "assert d[0].platform != 'cpu', d"],
+                check=True, timeout=900, capture_output=True)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "ddim5_full_pipeline_samples_per_sec_per_chip",
+                "value": None, "unit": "samples/s", "vs_baseline": None,
+                "error": "TPU tunnel unreachable: device init "
+                         f"{'timed out at 900s' if isinstance(e, subprocess.TimeoutExpired) else 'failed'}"
+                         " — environment outage, not a framework regression"
+                         " (see BENCH_extra.json for the last recorded"
+                         " numbers)",
+            }))
+            return 1
 
     import jax
 
@@ -827,4 +856,4 @@ def _host_bench_body(args, tmp):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
