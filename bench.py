@@ -145,12 +145,23 @@ def main():
     if args.host:
         return _host_bench(args)
 
-    if not args.cpu and not args.no_tunnel_probe:
+    # the probe guards DRIVER runs that would otherwise hang on the axon
+    # backend; when this process's jax is already configured for CPU (the
+    # test suite's conftest does this before importing bench), the bench
+    # will never touch the tunnel and probing it would only burn the
+    # 900s timeout whenever the tunnel happens to be down
+    already_cpu = False
+    if "jax" in sys.modules:
+        import jax
+
+        already_cpu = str(
+            jax.config.jax_platforms or "").split(",")[0] == "cpu"
+    if not args.cpu and not args.no_tunnel_probe and not already_cpu:
         # the axon TPU lives behind a tunnel that can be DOWN for hours, and
         # backend init then hangs indefinitely — probe it in a bounded
         # subprocess first so a driver-run bench fails FAST with an honest
         # JSON line instead of silently eating the driver's whole timeout
-        # (healthy init is seconds; a down tunnel times out at 10 min)
+        # (healthy init is seconds; a down tunnel times out at 15 min)
         import subprocess
         try:
             subprocess.run(
@@ -159,9 +170,25 @@ def main():
                  "assert d[0].platform != 'cpu', d"],
                 check=True, timeout=900, capture_output=True)
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            # report the outage against the metric THIS mode would have
+            # produced, so a driver keying on metric names records the
+            # failure in the right place
+            if args.guided or args.guided_ddim:
+                metric = ("guided_ddim5" if args.guided_ddim
+                          else "guided_ddpm50") + "_samples_per_sec_per_chip"
+                unit = "samples/s"
+            elif args.serving:
+                metric = "serving_predictor_samples_per_sec_per_chip"
+                unit = "samples/s"
+            elif args.train:
+                metric = "train_step_imgs_per_sec_per_chip"
+                unit = "imgs/s"
+            else:
+                metric = "ddim5_samples_per_sec_per_chip"
+                unit = "samples/s"
             print(json.dumps({
-                "metric": "ddim5_full_pipeline_samples_per_sec_per_chip",
-                "value": None, "unit": "samples/s", "vs_baseline": None,
+                "metric": metric,
+                "value": None, "unit": unit, "vs_baseline": None,
                 "error": "TPU tunnel unreachable: device init "
                          f"{'timed out at 900s' if isinstance(e, subprocess.TimeoutExpired) else 'failed'}"
                          " — environment outage, not a framework regression"
@@ -423,7 +450,19 @@ def _write_sidecar(metric: str, entry: dict, *, mode: str):
     Each entry is stamped with the git revision that produced it plus a
     provenance note naming the bench mode that measured it, so a stale
     sidecar (older code / other dtype flags) is identifiable in the
-    emitted JSON rather than passing as fresh."""
+    emitted JSON rather than passing as fresh.
+
+    Sidecar entries are TPU numbers of record: a run on the CPU backend
+    (--cpu smoke while the tunnel is down, or any accidental CPU fallback)
+    must never replace them, so CPU-platform writes are refused here —
+    the one guard covering every companion mode."""
+    import jax
+
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        print(f"[sidecar] SKIPPED write of {metric!r}: backend is 'cpu' — "
+              "sidecar entries are TPU numbers of record", file=sys.stderr)
+        return
     entry = dict(entry, git_rev=_git_rev(),
                  note=f"measured by a separate `bench.py {mode}` run "
                       "(see measured_unix/git_rev), not by the default "
@@ -631,10 +670,12 @@ def _train_bench(args):
     points, collision loss ON (bbox-ranked static cap 4096), full-size
     model, synthetic SMPL (6890 verts), schedule 50/cosine — the same step
     `train_egohmr` jits (train/loop.py make_train_step, single device).
-    Default measures the mixed-precision (bf16) step — the TPU-native speed
-    knob added round 3 (TrainConfig.mixed_precision / CLI
-    --mixed_precision); `--f32` measures the exact-parity f32 step (the
-    training default). State (params + AdamW moments) is threaded through
+    Default measures the mixed-precision (bf16) step — the TRAINING
+    DEFAULT since round 4 (TrainConfig.mixed_precision=True, convergence
+    evidence in artifacts/train_precision_overlay.json); `--f32` measures
+    the exact-parity f32 escape hatch
+    (`train_egohmr --mixed_precision False`).
+    State (params + AdamW moments) is threaded through
     the chain, so each call is a REAL optimizer step, and completion is
     forced by downloading the final loss scalar (MEASUREMENT RULE 2).
     """

@@ -82,6 +82,13 @@ def sample_bodies(
     guided steps — a measured speed/approximation knob (see
     `make_guidance_fn`); 1 is exact. sdf backend only.
     """
+    if (with_guidance and guidance_refresh_every != 1
+            and collision_backend == "occupancy"):
+        raise ValueError(
+            "guidance_refresh_every > 1 is an sdf-backend knob (it caches "
+            "the mesh-SDF selection pass); the occupancy backend has no "
+            "per-step selection stage to reuse. Drop --guidance_refresh or "
+            "use --collision_backend sdf.")
     if use_stage1_transl and "stage1_transl_full" in batch:
         batch = dict(batch)
         batch["smpl_params"] = dict(batch["smpl_params"])

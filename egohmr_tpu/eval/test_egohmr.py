@@ -48,7 +48,9 @@ def parse_args(argv=None):
                    help="recompute the guided-step selection pass only "
                         "every N-th guided step, reusing it in between "
                         "(1 = exact, the reference behavior; 2/4 trade a "
-                        "measured approximation for speed — PARITY.md)")
+                        "measured approximation for speed — PARITY.md). "
+                        "sdf backend only: occupancy has no selection "
+                        "stage to reuse, and N>1 with it is an error")
     p.add_argument("--collision_backend", type=str, default="sdf",
                    choices=["sdf", "occupancy"],
                    help="'sdf': exact mesh SDF; 'occupancy': distilled "

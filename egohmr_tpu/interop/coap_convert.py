@@ -117,6 +117,14 @@ def convert_coap(
     """
     from ..collision.neural_occupancy import NUM_PARTS, OccupancyConfig
 
+    # static-argument check — fail before walking/stacking 2*num_parts MLPs
+    if num_parts != NUM_PARTS:
+        raise ValueError(
+            f"convert_coap: this framework decomposes the body into "
+            f"{NUM_PARTS} parts (one per SMPL joint); a {num_parts}-part "
+            "release needs a part-assignment map added to "
+            "collision/neural_occupancy.py first")
+
     if enc_fmt is None or dec_fmt is None:
         enc_fmt, dec_fmt = _discover_pattern(sd, _PART_PATTERNS)
 
@@ -128,7 +136,7 @@ def convert_coap(
                 raise ValueError(
                     f"convert_coap: no Linear layers found for {what} part "
                     f"{k} under '{fmt.format(k=k)}' — the checkpoint has "
-                    f"{sum(1 for _ in sd)} keys; is num_parts={num_parts} "
+                    f"{len(sd)} keys; is num_parts={num_parts} "
                     "right for this release?")
             per_part.append(layers)
         depth = len(per_part[0])
@@ -152,13 +160,6 @@ def convert_coap(
 
     enc = stack(enc_fmt, "encoder")
     dec = stack(dec_fmt, "decoder")
-
-    if num_parts != NUM_PARTS:
-        raise ValueError(
-            f"convert_coap: this framework decomposes the body into "
-            f"{NUM_PARTS} parts (one per SMPL joint); a {num_parts}-part "
-            "release needs a part-assignment map added to "
-            "collision/neural_occupancy.py first")
 
     enc_in = int(enc[0]["w"].shape[1])
     latent = int(enc[-1]["w"].shape[2])

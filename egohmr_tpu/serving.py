@@ -91,10 +91,13 @@ class Predictor:
         output_keys=_OUTPUT_KEYS,
         pointnet_impl: Optional[str] = "fused",
         # dtype of the single packed readback buffer. float32 is lossless;
-        # jnp.float16 halves the device->host bytes at ~1e-3 relative
-        # rounding (≈1-2 mm on metric keypoints) — worth it only when the
-        # serving link is transfer-bound (measured decomposition in
-        # BASELINE.md round 4)
+        # jnp.float16 halves the device->host bytes at ~1e-3 RELATIVE
+        # rounding — ≈1-2 mm on metric (meter-scale) keypoints, but up to
+        # ~0.5-1 px on pred_keypoints_2d_full (pixel coords are O(1000), and
+        # fp16 spacing in [1024, 2048) is 1.0). Worth it only when the
+        # serving link is transfer-bound AND the client tolerates that on
+        # every output key (or trims output_keys to the metric ones) —
+        # measured decomposition in BASELINE.md round 4
         pack_dtype=jnp.float32,
     ):
         """`mesh`: optional 1-D `jax.sharding.Mesh` — each request's batch is

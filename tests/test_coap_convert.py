@@ -170,3 +170,27 @@ def test_convert_coap_guidance_path_runs():
            jnp.zeros((2,), jnp.int32))
     assert g.shape == (2, 144)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_occupancy_backend_rejects_guidance_refresh():
+    """guidance_refresh_every > 1 caches the sdf backend's selection pass;
+    the occupancy backend has no selection stage, so the combination must
+    fail loudly instead of silently running full-cost (round-4 review)."""
+    from egohmr_tpu.data.synthetic import synthetic_batch
+    from egohmr_tpu.diffusion import make_schedule
+    from egohmr_tpu.eval.pipeline import sample_bodies
+    from egohmr_tpu.models import BodyRepStats, EgoHMRConfig, init_egohmr
+
+    cfg = EgoHMRConfig(
+        img_feat_dim=64, backbone_type="stub", scene_feat_dim=32,
+        pointnet_hidden_dim=16, transl_embed_dim=16, timestep_embed_dim=32,
+        input_process_dim=32, gcn_hid_dim=32, gcn_layers=2)
+    params = init_egohmr(jax.random.PRNGKey(0), cfg)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=128)
+    batch = synthetic_batch(2, num_scene_points=256, img_size=56)
+    with pytest.raises(ValueError, match="sdf-backend knob"):
+        sample_bodies(
+            params, cfg, smpl, stats, make_schedule(10, "cosine", ""),
+            batch, jax.random.PRNGKey(0), 1, with_guidance=True,
+            collision_backend="occupancy", guidance_refresh_every=2)

@@ -98,7 +98,12 @@ def make_val_fn(cfg, stats, smpl):
     return val_metric
 
 
-def run(steps: int, mixed_precision: bool, quick: bool, eval_every: int):
+def run(built, val_fn, steps: int, mixed_precision: bool, quick: bool,
+        eval_every: int):
+    """One precision run. `built` (from _build) and `val_fn` are shared by
+    BOTH runs — the val probe is one jit instance, so the second run reuses
+    the first's in-process executable instead of reloading it through the
+    axon tunnel (~10 min even on a disk-cache hit, CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -107,14 +112,13 @@ def run(steps: int, mixed_precision: bool, quick: bool, eval_every: int):
     from egohmr_tpu.models import LossWeights
     from egohmr_tpu.train.loop import TrainConfig, make_optimizer, make_train_step
 
-    cfg, params, stats, smpl, B, P = _build(quick)
+    cfg, params, stats, smpl, B, P = built
     schedule = make_schedule(50, "cosine", "")
     tcfg = TrainConfig(use_collision_loss=True, mixed_precision=mixed_precision)
     optimizer = make_optimizer(tcfg)
     opt_state = optimizer.init(params)
     step = make_train_step(cfg, tcfg, LossWeights(), schedule, stats,
                            smpl, smpl, smpl, optimizer, mesh=None)
-    val_fn = make_val_fn(cfg, stats, smpl)
 
     # 8 distinct synthetic batches cycled — same sequence for both runs —
     # plus a held-out val batch never trained on
@@ -134,17 +138,23 @@ def run(steps: int, mixed_precision: bool, quick: bool, eval_every: int):
             val_train.append(val_fn(params, batches[0], jax.random.PRNGKey(7)))
             val_held.append(val_fn(params, val_batch, jax.random.PRNGKey(7)))
     # sampling-noise spread of the final model: 4 sampling keys per batch
-    spread_train = [val_fn(params, batches[0], jax.random.PRNGKey(100 + j))
-                    for j in range(4)]
-    spread_held = [val_fn(params, val_batch, jax.random.PRNGKey(100 + j))
-                   for j in range(4)]
+    # (skipped when --eval_every 0 disables the val probe — the probe
+    # program would otherwise still have to compile just for the spread)
+    spread_train, spread_held = [], []
+    if eval_every:
+        spread_train = [val_fn(params, batches[0], jax.random.PRNGKey(100 + j))
+                        for j in range(4)]
+        spread_held = [val_fn(params, val_batch, jax.random.PRNGKey(100 + j))
+                       for j in range(4)]
     out = [float(x) for x in jax.device_get(jnp.stack(losses))]
     vt = [float(x) for x in jax.device_get(jnp.stack(val_train))] \
         if val_train else []
     vh = [float(x) for x in jax.device_get(jnp.stack(val_held))] \
         if val_held else []
-    st = [float(x) for x in jax.device_get(jnp.stack(spread_train))]
-    sh = [float(x) for x in jax.device_get(jnp.stack(spread_held))]
+    st = [float(x) for x in jax.device_get(jnp.stack(spread_train))] \
+        if spread_train else []
+    sh = [float(x) for x in jax.device_get(jnp.stack(spread_held))] \
+        if spread_held else []
     dt = time.time() - t0
     tag = "bf16_mixed" if mixed_precision else "f32"
     msg = f"# {tag}: {steps} steps in {dt:.1f}s " \
@@ -193,10 +203,15 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    built = _build(args.quick)
+    # built once, shared: the val probe is only constructed when it will
+    # actually run, and the one jit instance serves both precision runs
+    val_fn = (make_val_fn(built[0], built[2], built[3])
+              if args.eval_every else None)
     l32, vs32, vt32, vh32, st32, sh32, dt32 = run(
-        args.steps, False, args.quick, args.eval_every)
+        built, val_fn, args.steps, False, args.quick, args.eval_every)
     l16, vs16, vt16, vh16, st16, sh16, dt16 = run(
-        args.steps, True, args.quick, args.eval_every)
+        built, val_fn, args.steps, True, args.quick, args.eval_every)
 
     s32, s16 = smooth(l32), smooth(l16)
     q = args.steps * 3 // 4
@@ -231,8 +246,8 @@ def main(argv=None):
         else None,
         "heldout_rel_diff": round(held_rel, 5) if held_rel is not None
         else None,
-        "heldout_sampling_spread_f32": _stats(sh32),
-        "heldout_sampling_spread_bf16": _stats(sh16),
+        "heldout_sampling_spread_f32": _stats(sh32) if sh32 else None,
+        "heldout_sampling_spread_bf16": _stats(sh16) if sh16 else None,
         "tol": args.tol,
         "val_tol": args.val_tol,
         "ok": mean_tail_rel <= args.tol and (

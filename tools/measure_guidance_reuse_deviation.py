@@ -1,9 +1,12 @@
 """End-to-end deviation of guided-step selection reuse (PARITY.md).
 
 Runs the full-size stage-2 pipeline with collision guidance twice — exact
-(selection recomputed every guided step, bit-identical to the round-3
-behavior) and with selection reuse (refresh every N guided steps) — on the
-SAME noise/keys, and reports the final-body deviation in millimeters
+(selection recomputed every guided step; note this "exact" baseline
+includes the round-4 fixed pre-permutation of the capped scoring points,
+so where the per_step_points cap binds it differs from round-3 outputs by
+tie-break — PARITY.md) and with selection reuse (refresh every N guided
+steps) — on the SAME noise/keys, and reports the final-body deviation in
+millimeters
 (max/mean over vertices), plus the guidance's own effect size (guided vs
 unguided) for scale. This is the quality half of the round-4 reuse lever;
 the speed half is `bench.py --guided[-ddim] --guidance-refresh N`.
