@@ -186,6 +186,16 @@ def main():
             else:
                 metric = "ddim5_samples_per_sec_per_chip"
                 unit = "samples/s"
+            # the train sidecar keys are precision-suffixed (the probe's
+            # generic name covers both); cite the mode's last TPU number of
+            # record so the outage artifact still carries a verifiable value
+            sidecar = _read_sidecar() or {}
+            sidecar_key = metric
+            if args.train:
+                sidecar_key = ("train_step_"
+                               + ("f32" if args.f32 else "bf16")
+                               + "_imgs_per_sec_per_chip")
+            last = sidecar.get(sidecar_key)
             print(json.dumps({
                 "metric": metric,
                 "value": None, "unit": unit, "vs_baseline": None,
@@ -194,6 +204,12 @@ def main():
                          " — environment outage, not a framework regression"
                          " (see BENCH_extra.json for the last recorded"
                          " numbers)",
+                "last_recorded": ({
+                    "value": last.get("value"),
+                    "vs_baseline": last.get("vs_baseline"),
+                    "git_rev": last.get("git_rev"),
+                    "measured_unix": last.get("measured_unix"),
+                } if isinstance(last, dict) else None),
             }))
             return 1
 
@@ -418,6 +434,22 @@ def main():
         "git_rev": _git_rev(),
     }
     print(json.dumps(result))
+    if not args.quick and S == 1:
+        # persist the headline too (not just companion modes): if a later
+        # run can't reach the chip, its outage JSON cites this entry as
+        # the last TPU number of record (same staleness marker: git_rev)
+        _write_sidecar(result["metric"], {
+            "value": result["value"], "unit": result["unit"],
+            "vs_baseline": result["vs_baseline"],
+            "extra": {
+                "batch_size": B, "scene_points": P,
+                "conditioning_dtype": result["extra"]["conditioning_dtype"],
+                "paper_setting_samples_per_sec":
+                    result["extra"]["paper_setting_samples_per_sec"],
+                "device": result["extra"]["device"],
+            },
+            "measured_unix": round(time.time(), 1),
+        }, mode="(default)")
 
 
 _SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -463,10 +495,14 @@ def _write_sidecar(metric: str, entry: dict, *, mode: str):
         print(f"[sidecar] SKIPPED write of {metric!r}: backend is 'cpu' — "
               "sidecar entries are TPU numbers of record", file=sys.stderr)
         return
-    entry = dict(entry, git_rev=_git_rev(),
-                 note=f"measured by a separate `bench.py {mode}` run "
-                      "(see measured_unix/git_rev), not by the default "
-                      "bench invocation that embeds this sidecar")
+    note = ("the headline, persisted by the default bench run itself "
+            "(see measured_unix/git_rev) so outage error lines can cite "
+            "the last TPU number of record"
+            if mode == "(default)" else
+            f"measured by a separate `bench.py {mode}` run "
+            "(see measured_unix/git_rev), not by the default "
+            "bench invocation that embeds this sidecar")
+    entry = dict(entry, git_rev=_git_rev(), note=note)
     data = _read_sidecar() or {}
     data[metric] = entry
     with open(_SIDECAR, "w") as f:
