@@ -10,7 +10,9 @@ zero code changes in the model itself.
 
 Model parallelism is unnecessary at this scale (ResNet50 + 4-layer GCN fits
 per-chip many times over), so sharded-parameter specs exist but default to
-replication.
+replication. For latency-bound small-batch serving there is an OPT-IN
+Megatron-style tensor-parallel placement over a 2-D (data x model) mesh in
+`parallel/tp.py`.
 """
 from __future__ import annotations
 
