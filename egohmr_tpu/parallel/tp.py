@@ -30,6 +30,10 @@ Scope: inference (serving). The training step uses shard_map data
 parallelism (train/loop.py) and does not compose with these placements; the
 ResNet image backbone stays replicated (conv-channel sharding buys nothing
 at 224px inputs — the conv working set is activation-, not weight-bound).
+Use `pointnet_impl="xla"` (the EgoHMRConfig default) with TP: the fused
+Pallas scene encoder (nn/pointnet_fused.py) is a single-device kernel —
+GSPMD cannot partition an opaque pallas_call, so placing its params
+model-sharded would at best force an all-gather back to replicated.
 """
 from __future__ import annotations
 

@@ -100,11 +100,27 @@ class Predictor:
         # measured decomposition in BASELINE.md round 4
         pack_dtype=jnp.float32,
     ):
-        """`mesh`: optional 1-D `jax.sharding.Mesh` — each request's batch is
-        sharded over its devices (data parallelism; the whole pipeline is
-        per-sample, so XLA partitions every op with no model changes).
-        `batch_size` must divide by the mesh size. `pointnet_impl` overrides
-        `cfg.pointnet_impl` for serving (default "fused"; None = keep cfg)."""
+        """`mesh`: optional `jax.sharding.Mesh`.
+
+        * 1-D mesh: each request's batch is sharded over its devices (data
+          parallelism; the whole pipeline is per-sample, so XLA partitions
+          every op with no model changes). `batch_size` must divide by the
+          mesh size.
+        * 2-D mesh with a "model" axis (`parallel.make_dp_tp_mesh`): the
+          batch is sharded over the "data" axis and the PointNet + GCN
+          params are placed tensor-parallel over "model"
+          (`parallel/tp.py`) — the latency lever when the per-chip batch
+          is small. The scene encoder runs as XLA matmuls in this mode
+          (the fused Pallas kernel is a single-device program, so the
+          `pointnet_impl="fused"` serving default is switched off
+          automatically).
+
+        `pointnet_impl` overrides `cfg.pointnet_impl` for serving (default
+        "fused"; None = keep cfg)."""
+        tp = (mesh is not None and "model" in mesh.axis_names
+              and mesh.shape["model"] > 1)
+        if tp and pointnet_impl == "fused":
+            pointnet_impl = "xla"  # see docstring: pallas_call is opaque to GSPMD
         if pointnet_impl is not None and cfg.pointnet_impl != pointnet_impl:
             from dataclasses import replace
 
@@ -114,10 +130,15 @@ class Predictor:
         self.max_inflight = max(1, int(max_inflight))
         self._output_keys = tuple(output_keys)
         self._mesh = mesh
-        if mesh is not None and self.batch_size % mesh.size != 0:
-            raise ValueError(
-                f"batch_size {self.batch_size} must divide by the "
-                f"{mesh.size}-device mesh")
+        self._data_axis = None
+        if mesh is not None:
+            self._data_axis = ("data" if "data" in mesh.axis_names
+                               else mesh.axis_names[0])
+            dp = mesh.shape[self._data_axis]
+            if self.batch_size % dp != 0:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide by the "
+                    f"{dp}-way '{self._data_axis}' mesh axis")
 
         # the full pipeline is a compile-heavy program (tens of minutes cold
         # on a remote compiler): make compiles persistent unless the app
@@ -155,9 +176,14 @@ class Predictor:
         # remote TPU compiler rejects payloads past ~200 MB (HTTP 413 — the
         # same constraint that shaped the eval CLIs)
         if mesh is not None:
-            from .parallel import replicate
+            if tp:
+                from .parallel import egohmr_tp_specs, place_params
 
-            params = replicate(mesh, params)
+                params = place_params(mesh, params, egohmr_tp_specs(params))
+            else:
+                from .parallel import replicate
+
+                params = replicate(mesh, params)
         self._params = params
         self._run_dict = _run_dict
         self._jf = jax.jit(_run)
@@ -176,7 +202,7 @@ class Predictor:
         if self._mesh is not None:
             from .parallel import shard_batch
 
-            batch = shard_batch(self._mesh, batch)
+            batch = shard_batch(self._mesh, batch, axis=self._data_axis)
         key = jax.random.PRNGKey(seed)
         if self._layout is None:
             shapes = jax.eval_shape(self._run_dict, self._params, batch, key)

@@ -96,6 +96,37 @@ def test_mesh_sharded_predictor_matches_single_device():
                   mesh=make_mesh(8))
 
 
+def test_tensor_parallel_predictor_matches_single_device():
+    """A 2-D (data=2 x model=4) mesh Predictor — PointNet + GCN params
+    placed tensor-parallel (parallel/tp.py) — returns the same bodies as
+    the unsharded one. batch_size needs only divide the DATA axis."""
+    from egohmr_tpu.parallel import make_dp_tp_mesh
+
+    params = init_egohmr(jax.random.PRNGKey(0), CFG)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=128)
+    schedule = make_schedule(50, "cosine", "ddim5")
+    # f32: isolates the sharding math from bf16 rounding — the TP matmul
+    # splits change bf16 accumulation order, which the 5-step DDIM
+    # recursion amplifies to ~1 ULP on a few elements (measured 6/864 at
+    # one bf16 ULP); in f32 the programs agree tightly
+    kwargs = dict(batch_size=6, num_samples=1, bf16=False)  # 6 % dp(2) == 0
+    p1 = Predictor(params, CFG, smpl, stats, schedule, **kwargs)
+    ptp = Predictor(params, CFG, smpl, stats, schedule,
+                    mesh=make_dp_tp_mesh(2, 4), **kwargs)
+    # params actually placed tensor-parallel, not silently replicated
+    from jax.sharding import PartitionSpec as P
+    assert (ptp._params["scene_enc"]["block_1"]["fc_0"]["w"].sharding.spec
+            == P(None, "model"))
+    batch = _mini_batch(6, seed=22)
+    a = p1(batch, seed=7)
+    b = ptp(batch, seed=7)
+    np.testing.assert_allclose(a["pred_pose_6d"], b["pred_pose_6d"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(a["pred_betas"], b["pred_betas"],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_pack_dtype_float16_roundtrip(predictor):
     """fp16 packing (halved D2H bytes) must hand clients float32 arrays that
     match the lossless f32-packed outputs to fp16 rounding."""
