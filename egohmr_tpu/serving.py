@@ -117,10 +117,25 @@ class Predictor:
 
         `pointnet_impl` overrides `cfg.pointnet_impl` for serving (default
         "fused"; None = keep cfg)."""
-        tp = (mesh is not None and "model" in mesh.axis_names
-              and mesh.shape["model"] > 1)
-        if tp and pointnet_impl == "fused":
-            pointnet_impl = "xla"  # see docstring: pallas_call is opaque to GSPMD
+        self._data_axis = None
+        tp_axis = None
+        if mesh is not None:
+            self._data_axis = ("data" if "data" in mesh.axis_names
+                               else mesh.axis_names[0])
+            other = [a for a in mesh.axis_names if a != self._data_axis]
+            if len(other) > 1:
+                raise ValueError(
+                    f"serving supports 1-D data or 2-D data x model meshes, "
+                    f"got axes {mesh.axis_names}")
+            if other and mesh.shape[other[0]] > 1:
+                tp_axis = other[0]
+        # the effective scene-encoder impl (argument overrides cfg): under a
+        # model axis the fused Pallas kernel must be switched off — a
+        # pallas_call is opaque to GSPMD (see parallel/tp.py)
+        eff_impl = (pointnet_impl if pointnet_impl is not None
+                    else cfg.pointnet_impl)
+        if tp_axis is not None and eff_impl == "fused":
+            pointnet_impl = "xla"
         if pointnet_impl is not None and cfg.pointnet_impl != pointnet_impl:
             from dataclasses import replace
 
@@ -130,10 +145,7 @@ class Predictor:
         self.max_inflight = max(1, int(max_inflight))
         self._output_keys = tuple(output_keys)
         self._mesh = mesh
-        self._data_axis = None
         if mesh is not None:
-            self._data_axis = ("data" if "data" in mesh.axis_names
-                               else mesh.axis_names[0])
             dp = mesh.shape[self._data_axis]
             if self.batch_size % dp != 0:
                 raise ValueError(
@@ -176,10 +188,11 @@ class Predictor:
         # remote TPU compiler rejects payloads past ~200 MB (HTTP 413 — the
         # same constraint that shaped the eval CLIs)
         if mesh is not None:
-            if tp:
+            if tp_axis is not None:
                 from .parallel import egohmr_tp_specs, place_params
 
-                params = place_params(mesh, params, egohmr_tp_specs(params))
+                params = place_params(
+                    mesh, params, egohmr_tp_specs(params, axis=tp_axis))
             else:
                 from .parallel import replicate
 

@@ -127,6 +127,39 @@ def test_tensor_parallel_predictor_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_tensor_parallel_predictor_bf16_default_composes():
+    """The PRODUCTION default combination — bf16 param precast composed
+    with tensor-parallel placement (cast_params_bf16 rebuilds the tree
+    before place_params shards it) — must build and agree with the
+    unsharded bf16 run to within bf16 reduction-order noise. Also covers a
+    custom model-axis name threading through to the spec tree."""
+    from egohmr_tpu.parallel import make_dp_tp_mesh
+
+    params = init_egohmr(jax.random.PRNGKey(0), CFG)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=128)
+    schedule = make_schedule(50, "cosine", "ddim5")
+    kwargs = dict(batch_size=4, num_samples=1)  # bf16 default True
+    p1 = Predictor(params, CFG, smpl, stats, schedule, **kwargs)
+    ptp = Predictor(params, CFG, smpl, stats, schedule,
+                    mesh=make_dp_tp_mesh(2, 4, axes=("data", "mp")),
+                    **kwargs)
+    from jax.sharding import PartitionSpec as P
+    assert (ptp._params["scene_enc"]["block_1"]["fc_0"]["w"].sharding.spec
+            == P(None, "mp"))
+    # BN leaves stay f32 through cast+place (structural detection intact)
+    assert ptp._params["diffusion_model"]["gconv_input"]["bn"][
+        "mean"].dtype == jnp.float32
+    batch = _mini_batch(4, seed=23)
+    a = p1(batch, seed=11)
+    b = ptp(batch, seed=11)
+    assert all(np.isfinite(v).all() for v in b.values())
+    # bf16 ULP at O(1) magnitudes is ~0.008; the DDIM recursion can stack a
+    # few of them — loose gate, the tight one is the f32 test above
+    np.testing.assert_allclose(a["pred_pose_6d"], b["pred_pose_6d"],
+                               rtol=0.05, atol=0.05)
+
+
 def test_pack_dtype_float16_roundtrip(predictor):
     """fp16 packing (halved D2H bytes) must hand clients float32 arrays that
     match the lossless f32-packed outputs to fp16 rounding."""

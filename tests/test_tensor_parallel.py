@@ -28,9 +28,13 @@ needs8 = pytest.mark.skipif(
 
 
 def _assert_has_collective(compiled_text: str) -> None:
-    assert "all-reduce" in compiled_text or "all-gather" in compiled_text, (
-        "no collective in the partitioned program — TP placement was "
-        "propagated away (silent replication)"
+    # specifically all-reduce (the row-parallel partial-sum signature):
+    # an all-GATHER is what the partitioner emits when it resolves a bad
+    # placement by gathering params back to replicated — i.e. exactly the
+    # silent-replication failure mode this check exists to catch
+    assert "all-reduce" in compiled_text, (
+        "no all-reduce in the partitioned program — TP placement was "
+        "propagated away (silent replication or param all-gather)"
     )
 
 
