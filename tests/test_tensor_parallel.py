@@ -132,6 +132,46 @@ def test_full_model_tp_sampling_matches_dense():
 
 
 @needs8
+def test_full_model_tp_guided_sampling_matches_dense():
+    """Guided DDIM under TP: the collision-score gradient (jax.grad through
+    rot6d->LBS->SDF inside the scan) composes with TP-sharded conditioning
+    — the guidance inputs (SMPL, scene cloud, selection state) are
+    replicated, only the encoders/denoiser are model-sharded."""
+    from egohmr_tpu.data.synthetic import synthetic_batch
+    from egohmr_tpu.diffusion import make_schedule
+    from egohmr_tpu.eval.pipeline import sample_bodies
+    from egohmr_tpu.models import BodyRepStats, EgoHMRConfig, init_egohmr
+    from egohmr_tpu.smpl import make_synthetic_model
+
+    cfg = EgoHMRConfig(
+        img_feat_dim=64, backbone_type="stub", scene_feat_dim=32,
+        pointnet_hidden_dim=16, transl_embed_dim=16, timestep_embed_dim=32,
+        input_process_dim=32, gcn_hid_dim=32, gcn_layers=2,
+    )
+    params = init_egohmr(jax.random.PRNGKey(0), cfg)
+    stats = BodyRepStats(mean=jnp.zeros((144,)), std=jnp.ones((144,)))
+    smpl = make_synthetic_model(num_vertices=256)
+    schedule = make_schedule(50, "cosine", "ddim5")
+    batch = synthetic_batch(4, num_scene_points=256, img_size=56)
+
+    def infer(params, batch):
+        outs, _ = sample_bodies(
+            params, cfg, smpl, stats, schedule, batch,
+            jax.random.PRNGKey(3), num_samples=1, sampler="ddim",
+            with_guidance=True)
+        return outs["pred_keypoints_3d_full"]
+
+    dense = jax.jit(infer)(params, batch)
+    mesh = make_dp_tp_mesh(2, 4)
+    placed = place_params(mesh, params, egohmr_tp_specs(params))
+    sbatch = shard_batch(mesh, batch, axis="data")
+    out = jax.jit(infer)(placed, sbatch)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(dense), rtol=1e-4, atol=1e-5
+    )
+
+
+@needs8
 def test_tp_specs_cover_every_leaf():
     """The spec tree must mirror the param tree exactly — a missing/extra
     key would silently replicate (or crash) at place time."""
