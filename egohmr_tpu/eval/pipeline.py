@@ -75,20 +75,24 @@ def sample_bodies(
     `use_stage1_transl` injects the stage-1 predicted translation
     (reference test_egohmr.py:243-245) when present in the batch.
     `collision_backend` selects the guidance gradient source: the exact
-    mesh SDF ('sdf', default) or the distilled learned occupancy
-    ('occupancy', the COAP-family path — reference egohmr.py:517-605).
+    mesh SDF ('sdf', default), the distilled learned occupancy
+    ('occupancy', the COAP-family path — reference egohmr.py:517-605), or
+    the distilled learned signed-distance net ('volsdf', the
+    VolumetricSMPL-family path — reference egohmr_volsmpl.py:583-626).
+    For the learned backends, `occ_params`/`occ_cfg` carry that backend's
+    collision-net weights/config (`load_occupancy` / `load_sdfnet`).
     `guidance_refresh_every` > 1 reuses the guided-step selection pass
     (nearest vertices / signs / scoring points) across that many adjacent
     guided steps — a measured speed/approximation knob (see
     `make_guidance_fn`); 1 is exact. sdf backend only.
     """
     if (with_guidance and guidance_refresh_every != 1
-            and collision_backend == "occupancy"):
+            and collision_backend in ("occupancy", "volsdf")):
         raise ValueError(
             "guidance_refresh_every > 1 is an sdf-backend knob (it caches "
-            "the mesh-SDF selection pass); the occupancy backend has no "
-            "per-step selection stage to reuse. Drop --guidance_refresh or "
-            "use --collision_backend sdf.")
+            f"the mesh-SDF selection pass); the {collision_backend} backend "
+            "has no per-step selection stage to reuse. Drop "
+            "--guidance_refresh or use --collision_backend sdf.")
     if use_stage1_transl and "stage1_transl_full" in batch:
         batch = dict(batch)
         batch["smpl_params"] = dict(batch["smpl_params"])
@@ -134,6 +138,14 @@ def sample_bodies(
                 "--collision_backend occupancy needs a distilled artifact "
                 "(--occupancy_ckpt)")
             guidance_fn = make_occupancy_guidance_fn(
+                occ_params, occ_cfg, smpl, cond_s, stats)
+        elif collision_backend == "volsdf":
+            from ..collision.neural_sdf import make_volsdf_guidance_fn
+
+            assert occ_params is not None, (
+                "--collision_backend volsdf needs a distilled artifact "
+                "(--sdfnet_ckpt)")
+            guidance_fn = make_volsdf_guidance_fn(
                 occ_params, occ_cfg, smpl, cond_s, stats)
         else:
             guidance_fn = make_guidance_fn(
@@ -205,7 +217,10 @@ def evaluate_batch(
     outputs: [B, S, ...] from `sample_bodies`. `collision_backend`
     'occupancy' computes the collision ratio from the distilled occupancy
     net (occ>0.5 inside the body bbox / total points), mirroring the
-    reference's COAP eval_coll (egohmr.py:487-514).
+    reference's COAP eval_coll (egohmr.py:487-514); 'volsdf' computes it
+    from the distilled signed-distance net (sdf<0), mirroring the
+    volsmpl eval_coll (egohmr_volsmpl.py:546-580 — batched here instead
+    of the reference's per-item Python loop).
     """
     B, S = outputs["pred_keypoints_3d"].shape[:2]
     gtp = batch["smpl_params"]
@@ -286,8 +301,7 @@ def evaluate_batch(
         verts_flat = pred_verts.reshape(B * S, -1, 3)
         # bodies are posed without transl; scene is canonicalized to match
         scene_s = jnp.repeat(scene, S, axis=0)
-        if eval_collision and collision_backend == "occupancy":
-            from ..collision.neural_occupancy import occupancy_query
+        if eval_collision and collision_backend in ("occupancy", "volsdf"):
             from ..smpl import SMPLOutput
 
             rotmat = outputs["pred_pose_rotmat"].reshape(B * S, 24, 3, 3)
@@ -300,11 +314,21 @@ def evaluate_batch(
                 full_pose=rotmat,
                 joints_smpl=outputs["pred_joints_smpl"].reshape(B * S, 24, 3),
             )
-            occ = occupancy_query(occ_params, occ_cfg, smpl_neutral,
-                                  out_bs, betas_s, scene_s)
-            mask = bbox_mask(scene_s, verts_flat).astype(occ.dtype)
-            inside = (occ > 0.5).astype(occ.dtype) * mask
-            coll = (jnp.sum(inside, axis=-1)
+            if collision_backend == "occupancy":
+                from ..collision.neural_occupancy import occupancy_query
+
+                occ = occupancy_query(occ_params, occ_cfg, smpl_neutral,
+                                      out_bs, betas_s, scene_s)
+                inside = (occ > 0.5).astype(occ.dtype)
+            else:
+                from ..collision.neural_sdf import sdf_query
+
+                sdf_pred = sdf_query(occ_params, occ_cfg, smpl_neutral,
+                                     out_bs, betas_s, scene_s)
+                # reference counts sdf_pred < 0 (egohmr_volsmpl.py:575)
+                inside = (sdf_pred < 0.0).astype(sdf_pred.dtype)
+            mask = bbox_mask(scene_s, verts_flat).astype(inside.dtype)
+            coll = (jnp.sum(inside * mask, axis=-1)
                     / scene_s.shape[-2]).reshape(B, S)
         elif eval_collision:
             normals = vertex_normals(verts_flat, smpl_neutral.faces)

@@ -52,12 +52,20 @@ def parse_args(argv=None):
                         "sdf backend only: occupancy has no selection "
                         "stage to reuse, and N>1 with it is an error")
     p.add_argument("--collision_backend", type=str, default="sdf",
-                   choices=["sdf", "occupancy"],
+                   choices=["sdf", "occupancy", "volsdf"],
                    help="'sdf': exact mesh SDF; 'occupancy': distilled "
                         "COAP-family net (needs --occupancy_ckpt, see "
-                        "egohmr_tpu.train.distill_occupancy)")
+                        "egohmr_tpu.train.distill_occupancy); 'volsdf': "
+                        "distilled VolumetricSMPL-family signed-distance "
+                        "net (needs --sdfnet_ckpt, see "
+                        "egohmr_tpu.train.distill_sdf — reference "
+                        "test_egohmr_volsmpl.py / egohmr_volsmpl.py)")
     p.add_argument("--occupancy_ckpt", type=str, default="",
-                   help="distilled occupancy .npz artifact")
+                   help="distilled occupancy .npz artifact (or a COAP "
+                        ".pt release, converted on load)")
+    p.add_argument("--sdfnet_ckpt", type=str, default="",
+                   help="distilled signed-distance .npz artifact (or a "
+                        "VolumetricSMPL .ckpt release, converted on load)")
     p.add_argument("--only_mask_img_cond", type=b, default=True)
     p.add_argument("--pelvis_vis_loosen", type=b, default=True)
     p.add_argument("--gcn_nonlocal_layer", type=b, default=False)
@@ -209,6 +217,13 @@ def main(argv=None):
             "--collision_backend occupancy needs --occupancy_ckpt "
             "(train one with: python -m egohmr_tpu.train.distill_occupancy)")
         occ_params, occ_cfg = load_occupancy(args.occupancy_ckpt)
+    elif args.collision_backend == "volsdf":
+        from ..collision.neural_sdf import load_sdfnet
+
+        assert args.sdfnet_ckpt, (
+            "--collision_backend volsdf needs --sdfnet_ckpt "
+            "(train one with: python -m egohmr_tpu.train.distill_sdf)")
+        occ_params, occ_cfg = load_sdfnet(args.sdfnet_ckpt)
 
     # params as a jit ARGUMENT, not a closure constant: the axon remote
     # compiler rejects payloads with the full param tree baked in (HTTP 413)

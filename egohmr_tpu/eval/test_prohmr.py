@@ -85,10 +85,21 @@ def main(argv=None):
         smpl_n = smpl_create(args.smpl_model_path, "neutral")
         smpl_m = smpl_create(args.smpl_model_path, "male")
         smpl_f = smpl_create(args.smpl_model_path, "female")
-        from ..utils.checkpoint import restore_checkpoint
+        if args.checkpoint.endswith((".pt", ".pth")):
+            # reference-layout release checkpoint (e.g. the published
+            # 53618.pt — reference README.md:68-70): converted on load,
+            # same drop-in path the stage-2 CLI has
+            from ..interop.torch_convert import (
+                convert_prohmr,
+                load_torch_checkpoint,
+            )
 
-        state = restore_checkpoint(args.checkpoint)
-        params = state["params"] if "params" in state else state
+            params = convert_prohmr(load_torch_checkpoint(args.checkpoint))
+        else:
+            from ..utils.checkpoint import restore_checkpoint
+
+            state = restore_checkpoint(args.checkpoint)
+            params = state["params"] if "params" in state else state
         # numpy leaves -> device arrays (tracer-safe indexing, no per-batch
         # host->device transfers of the weights)
         params = jax.tree_util.tree_map(jnp.asarray, params)
