@@ -69,6 +69,7 @@ def sample_bodies(
     bf16: bool = False,
     params_precast: bool = False,
     guidance_refresh_every: int = 1,
+    guidance_grad_mode: str = "exact",
 ) -> Tuple[Dict[str, Array], Condition]:
     """Draw `num_samples` bodies per image; outputs have shape [B, S, ...].
 
@@ -85,7 +86,13 @@ def sample_bodies(
     (nearest vertices / signs / scoring points) across that many adjacent
     guided steps — a measured speed/approximation knob (see
     `make_guidance_fn`); 1 is exact. sdf backend only.
+    `guidance_grad_mode` is a PROFILING seam ("forward-only" measures the
+    zero-backward guided-step floor, tools/probe_guided_backward.py);
+    anything but "exact" is not a product mode. sdf backend only.
     """
+    if guidance_grad_mode != "exact" and collision_backend != "sdf":
+        raise ValueError("guidance_grad_mode is an sdf-backend profiling "
+                         "seam; use --collision_backend sdf")
     if (with_guidance and guidance_refresh_every != 1
             and collision_backend in ("occupancy", "volsdf")):
         raise ValueError(
@@ -150,7 +157,8 @@ def sample_bodies(
         else:
             guidance_fn = make_guidance_fn(
                 params, cfg, smpl, cond_s, stats,
-                selection_refresh_every=guidance_refresh_every)
+                selection_refresh_every=guidance_refresh_every,
+                grad_mode=guidance_grad_mode)
     _, x0 = sample_loop(
         schedule, denoise, key, (B * num_samples, 144),
         sampler=sampler, guidance_fn=guidance_fn, guidance=guidance,

@@ -440,6 +440,7 @@ def make_guidance_fn(
     max_scene_points: Optional[int] = 4096,
     per_step_points: Optional[int] = 1024,
     selection_refresh_every: int = 1,
+    grad_mode: str = "exact",
 ):
     """Collision-score gradient w.r.t. x_t (reference guide_coll,
     egohmr.py:517-605), batched with static shapes.
@@ -548,7 +549,17 @@ def make_guidance_fn(
         loss = collision_loss(sdf, mask.astype(sdf.dtype))  # [B]
         return -jnp.mean(loss)
 
+    assert grad_mode in ("exact", "forward-only"), grad_mode
+
     def grad_given(x_t: Array, sel) -> Array:
+        if grad_mode == "forward-only":
+            # PROFILING-ONLY (tools/probe_guided_backward.py): run the
+            # differentiable pass forward but skip its backward, to measure
+            # the zero-backward floor of a guided step. The 1e-24 coupling
+            # keeps the forward live against DCE while making the applied
+            # guidance numerically nil — NOT a product mode.
+            val = neg_collision(x_t, sel)
+            return jnp.broadcast_to(val * 1e-24, x_t.shape)
         grad = jax.grad(neg_collision)(x_t, sel)  # [B, 144]
         grad = grad.reshape(-1, 24, 6) * scale
         return grad.reshape(x_t.shape[0], 144)

@@ -119,6 +119,29 @@ def test_guidance_grad_zero_on_upper_body(setup):
     np.testing.assert_allclose(g[:, upper], 0.0)
 
 
+def test_guidance_grad_mode_forward_only(setup):
+    """The profiling seam (tools/probe_guided_backward.py): forward-only
+    mode must apply numerically-nil guidance (the 1e-24 DCE coupling) and
+    be rejected for learned collision backends."""
+    import pytest
+
+    cfg, params, stats, smpl, batch = setup
+    cond, _ = compute_condition(params, cfg, batch)
+    guide = make_guidance_fn(params, cfg, smpl, cond, stats,
+                             sdf_block_size=256, grad_mode="forward-only")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 144))
+    g = np.asarray(guide(x, jnp.zeros((2,), jnp.int32)))
+    assert np.all(np.abs(g) < 1e-18), np.abs(g).max()
+
+    with pytest.raises(ValueError, match="profiling seam"):
+        from egohmr_tpu.eval.pipeline import sample_bodies
+
+        sample_bodies(params, cfg, smpl, stats, make_schedule(10, "cosine", ""),
+                      batch, jax.random.PRNGKey(0), 1, sampler="ddpm",
+                      with_guidance=True, collision_backend="volsdf",
+                      guidance_grad_mode="forward-only")
+
+
 def test_training_loss_finite_and_differentiable(setup):
     cfg, params, stats, smpl, batch = setup
     weights = LossWeights()

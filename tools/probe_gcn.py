@@ -39,9 +39,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
                     help="fuse-doubled batch (headline B=64 cond/uncond)")
-    ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--n1", type=int, default=5)
-    ap.add_argument("--n2", type=int, default=25)
+    ap.add_argument("--reps", type=int, default=15)
+    ap.add_argument("--n1", type=int, default=10)
+    ap.add_argument("--n2", type=int, default=60)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -160,8 +160,12 @@ def main(argv=None):
             float(chain(p, h0, h1, n))
             return time.time() - t0
 
-        best = min((t(args.n2) - t(args.n1)) for _ in range(args.reps))
-        ms = best / (args.n2 - args.n1) * 1e3
+        # min of EACH chain length separately, then difference — a min over
+        # per-pair differences selects anti-correlated tunnel-noise pairs
+        # (first run of this probe read a NEGATIVE ms/call that way)
+        d1 = min(t(args.n1) for _ in range(args.reps))
+        d2 = min(t(args.n2) for _ in range(args.reps))
+        ms = (d2 - d1) / (args.n2 - args.n1) * 1e3
         print(f"# {name}: {ms:.3f} ms/call (compile {compile_s:.1f}s)",
               file=sys.stderr)
         return ms
