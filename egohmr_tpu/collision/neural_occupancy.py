@@ -121,7 +121,7 @@ def load_occupancy(path: str) -> Tuple[dict, OccupancyConfig]:
 
         return convert_coap(load_torch_checkpoint(path))
 
-    from ..utils.checkpoint import load_npz_into
+    from ..utils.checkpoint import load_npz_into, load_npz_tree
 
     cfg = OccupancyConfig()
     meta_path = path + ".json"
@@ -129,6 +129,10 @@ def load_occupancy(path: str) -> Tuple[dict, OccupancyConfig]:
         with open(meta_path) as f:
             meta = json.load(f)
         cfg = OccupancyConfig(**meta.get("occupancy_config", {}))
+    if cfg.per_part_networks:
+        # converted-release layout (re-saved via save_npz): init_occupancy
+        # can't produce this template — rebuild the tree from the keys
+        return load_npz_tree(path), cfg
     template = init_occupancy(jax.random.PRNGKey(0), cfg)
     return load_npz_into(path, template), cfg
 

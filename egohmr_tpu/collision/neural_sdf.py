@@ -123,7 +123,7 @@ def load_sdfnet(path: str) -> Tuple[dict, SDFNetConfig]:
 
         return convert_volsmpl(load_torch_checkpoint(path))
 
-    from ..utils.checkpoint import load_npz_into
+    from ..utils.checkpoint import load_npz_into, load_npz_tree
 
     cfg = SDFNetConfig()
     meta_path = path + ".json"
@@ -131,6 +131,10 @@ def load_sdfnet(path: str) -> Tuple[dict, SDFNetConfig]:
         with open(meta_path) as f:
             meta = json.load(f)
         cfg = SDFNetConfig(**meta.get("sdf_config", {}))
+    if cfg.per_part_networks:
+        # converted-release layout (re-saved via save_npz): init_sdfnet
+        # can't produce this template — rebuild the tree from the keys
+        return load_npz_tree(path), cfg
     template = init_sdfnet(jax.random.PRNGKey(0), cfg)
     return load_npz_into(path, template), cfg
 

@@ -78,6 +78,40 @@ def save_npz(path: str, tree: Any) -> None:
     np.savez_compressed(path, **flat)
 
 
+def load_npz_tree(path: str) -> Any:
+    """Reconstruct the nested pytree from a flat .npz written by `save_npz`
+    WITHOUT a template: dotted segments become dict keys, and a level whose
+    keys are exactly the integers 0..n-1 becomes a list (matching how
+    save_npz flattens lists). Needed when the structure can't be rebuilt
+    from an init fn — e.g. converted `per_part_networks` collision nets
+    (collision.neural_sdf.load_sdfnet / neural_occupancy.load_occupancy),
+    whose layout exists only in the converted release, not in init_*."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        node = root
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def convert(node):
+        if not isinstance(node, dict):
+            import jax.numpy as jnp
+
+            return jnp.asarray(node)
+        out = {k: convert(v) for k, v in node.items()}
+        if out and all(k.isdigit() for k in out):
+            idx = sorted(int(k) for k in out)
+            if idx == list(range(len(idx))):
+                return [out[str(i)] for i in idx]
+        return out
+
+    return convert(root)
+
+
 def load_npz_into(path: str, template: Any) -> Any:
     """Load a flat .npz (from save_npz) back into `template`'s structure."""
     with np.load(path) as z:

@@ -194,3 +194,30 @@ def test_occupancy_backend_rejects_guidance_refresh():
             params, cfg, smpl, stats, make_schedule(10, "cosine", ""),
             batch, jax.random.PRNGKey(0), 1, with_guidance=True,
             collision_backend="occupancy", guidance_refresh_every=2)
+
+
+def test_converted_artifact_npz_roundtrip(tmp_path):
+    """A CONVERTED (per_part_networks) occupancy net re-saved as .npz must
+    reload through load_occupancy: init_occupancy can't template that
+    layout, so the loader rebuilds the tree from the flat keys
+    (utils.checkpoint load_npz_tree)."""
+    import dataclasses
+    import json
+
+    from egohmr_tpu.collision.neural_occupancy import load_occupancy
+    from egohmr_tpu.utils.checkpoint import save_npz
+
+    rng = np.random.RandomState(7)
+    params, cfg = convert_coap(_fabricate_state_dict(rng))
+    path = str(tmp_path / "converted_coap.npz")
+    save_npz(path, params)
+    with open(path + ".json", "w") as f:
+        json.dump({"occupancy_config": dataclasses.asdict(cfg)}, f)
+
+    params2, cfg2 = load_occupancy(path)
+    assert cfg2 == cfg
+    assert (jax.tree_util.tree_structure(params2)
+            == jax.tree_util.tree_structure(params))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -342,6 +342,33 @@ def test_convert_volsmpl_errors():
     assert params["part_encoder"][0]["w"].shape == (NUM_PARTS, 17, 48)
 
 
+def test_converted_artifact_npz_roundtrip(tmp_path):
+    """A CONVERTED (per_part_networks) net re-saved as .npz must reload
+    through load_sdfnet: init_sdfnet can't template that layout, so the
+    loader rebuilds the tree from the flat keys (utils.checkpoint
+    load_npz_tree)."""
+    import dataclasses
+    import json
+
+    from egohmr_tpu.collision.neural_sdf import load_sdfnet
+    from egohmr_tpu.utils.checkpoint import save_npz
+
+    rng = np.random.RandomState(5)
+    params, cfg = convert_volsmpl(_fabricate_state_dict(rng))
+    path = str(tmp_path / "converted.npz")
+    save_npz(path, params)
+    with open(path + ".json", "w") as f:
+        json.dump({"sdf_config": dataclasses.asdict(cfg)}, f)
+
+    params2, cfg2 = load_sdfnet(path)
+    assert cfg2 == cfg
+    assert (jax.tree_util.tree_structure(params2)
+            == jax.tree_util.tree_structure(params))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_convert_volsmpl_guidance_path_runs():
     """The converted net must plug into the volsdf guidance closure the
     eval CLI builds for --collision_backend volsdf."""
