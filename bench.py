@@ -526,7 +526,14 @@ def main():
         "git_rev": _git_rev(),
     }
     print(json.dumps(result))
-    if not args.quick and S == 1:
+    if not args.quick and S == 1 and ref_sps is None:
+        # --skip-baseline measured no baselines: writing this entry would
+        # null the recorded vs_baseline_* / tunnel RT fields of the number
+        # of record. Keep the last complete entry instead.
+        print("[sidecar] SKIPPED headline write: --skip-baseline run has "
+              "no baseline ratios; keeping the last complete entry",
+              file=sys.stderr)
+    elif not args.quick and S == 1:
         # persist the headline too (not just companion modes): if a later
         # run can't reach the chip, its outage JSON cites this entry as
         # the last TPU number of record (same staleness marker: git_rev)

@@ -65,14 +65,16 @@ class OccupancyConfig:
     leaky_slope: float = 0.01
 
 
-def _activation(cfg: OccupancyConfig):
+def _activation(cfg):
+    """Activation from a collision-net config (duck-typed: OccupancyConfig
+    or neural_sdf.SDFNetConfig — both carry activation/leaky_slope)."""
     if cfg.activation == "relu":
         return relu
     if cfg.activation == "leaky_relu":
         return lambda x: jax.nn.leaky_relu(x, cfg.leaky_slope)
     if cfg.activation == "softplus":
         return jax.nn.softplus
-    raise ValueError(f"unknown occupancy activation: {cfg.activation}")
+    raise ValueError(f"unknown collision-net activation: {cfg.activation}")
 
 
 def init_occupancy(key: Array, cfg: OccupancyConfig = OccupancyConfig()) -> dict:
@@ -107,34 +109,51 @@ def load_occupancy(path: str) -> Tuple[dict, OccupancyConfig]:
 
     * `.npz` (+ `.json` sidecar): a distilled artifact written by
       `python -m egohmr_tpu.train.distill_occupancy`;
-    * `.pt` / `.pth`: a pretrained COAP release checkpoint — converted
-      through `interop.coap_convert.convert_coap` into the
+    * `.pt` / `.pth` / `.ckpt`: a pretrained COAP release checkpoint —
+      converted through `interop.coap_convert.convert_coap` into the
       `per_part_networks` layout (weight drop-in path; reference
       egohmr.py:117 `attach_coap`).
+    """
+    def convert(sd):
+        from ..interop.coap_convert import convert_coap
+
+        return convert_coap(sd)
+
+    return _load_collision_net(path, OccupancyConfig, "occupancy_config",
+                               convert, init_occupancy)
+
+
+def _load_collision_net(path: str, cfg_cls, meta_key: str, convert_torch,
+                        init_fn):
+    """Shared loader for the learned collision backends (occupancy and
+    neural_sdf's volsdf).
+
+    * `.npz` (+ `.json` sidecar): a distilled or re-saved artifact. A
+      `per_part_networks` config means a converted-release layout that the
+      init fn can't template — the tree is rebuilt from the flat keys
+      (utils.checkpoint.load_npz_tree).
+    * `.pt` / `.pth` / `.ckpt`: a pretrained torch release, mapped through
+      `convert_torch` (a lazy-importing callable on the raw state dict).
     """
     import json
     import os
 
-    if path.endswith((".pt", ".pth")):
-        from ..interop.coap_convert import convert_coap
+    if path.endswith((".pt", ".pth", ".ckpt")):
         from ..interop.torch_convert import load_torch_checkpoint
 
-        return convert_coap(load_torch_checkpoint(path))
+        return convert_torch(load_torch_checkpoint(path))
 
     from ..utils.checkpoint import load_npz_into, load_npz_tree
 
-    cfg = OccupancyConfig()
+    cfg = cfg_cls()
     meta_path = path + ".json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        cfg = OccupancyConfig(**meta.get("occupancy_config", {}))
+        cfg = cfg_cls(**meta.get(meta_key, {}))
     if cfg.per_part_networks:
-        # converted-release layout (re-saved via save_npz): init_occupancy
-        # can't produce this template — rebuild the tree from the keys
         return load_npz_tree(path), cfg
-    template = init_occupancy(jax.random.PRNGKey(0), cfg)
-    return load_npz_into(path, template), cfg
+    return load_npz_into(path, init_fn(jax.random.PRNGKey(0), cfg)), cfg
 
 
 def _part_transforms(model: SMPLModel, out: SMPLOutput) -> Tuple[Array, Array]:
@@ -152,18 +171,23 @@ def _part_transforms(model: SMPLModel, out: SMPLOutput) -> Tuple[Array, Array]:
     return rot, out.joints_smpl[:, :24]
 
 
-def occupancy_query(
+def part_field_raw(
     params: dict,
-    cfg: OccupancyConfig,
+    cfg,
     model: SMPLModel,
     smpl_out: SMPLOutput,
     betas: Array,
     points: Array,
 ) -> Array:
-    """Occupancy in [0, 1] for scene points. points: [B, P, 3] -> [B, P].
+    """Raw per-part field for scene points: [B, P, 3] -> [B, 24, P].
 
-    Equivalent surface to reference `self.smpl.coap.query(points, smpl_out)`
-    (egohmr.py:509). >0.5 means inside the body.
+    The shared COAP/VolumetricSMPL-family forward (canonicalize each point
+    into every part's posed bone frame, encode a per-part latent from the
+    bone transform + betas (+ part code), decode a per-point scalar) —
+    only the output head differs between the occupancy and signed-distance
+    backends, so both `occupancy_query` and `neural_sdf.sdf_query` call
+    this. `cfg` is duck-typed (OccupancyConfig or SDFNetConfig):
+    part_embed_dim / per_part_networks / activation fields only.
     """
     B, P, _ = points.shape
     rot, trans = _part_transforms(model, smpl_out)  # [B,24,3,3], [B,24,3]
@@ -181,7 +205,7 @@ def occupancy_query(
     feats = jnp.concatenate(enc_feats, axis=-1)
 
     if cfg.per_part_networks:
-        # exact-COAP layout: per-part weight stacks, part-batched einsums
+        # exact-release layout: per-part weight stacks, part-batched einsums
         act = _activation(cfg)
         h = feats  # [B, 24, Din]
         enc = params["part_encoder"]
@@ -199,8 +223,7 @@ def occupancy_query(
                  + lp["b"][:, None, :])
             if i < len(dec) - 1:
                 x = act(x)
-        logits = x[..., 0]  # [B, 24, P]
-        return jax.nn.sigmoid(jnp.max(logits, axis=1))
+        return x[..., 0]  # [B, 24, P]
 
     h = relu(linear(params["encoder"]["l0"], feats))
     latent = linear(params["encoder"]["l1"], h)  # [B, 24, D]
@@ -212,19 +235,79 @@ def occupancy_query(
         x = linear(lp, x)
         if i < len(params["decoder"]) - 1:
             x = relu(x)
-    logits = x[..., 0]  # [B, 24, P]
+    return x[..., 0]  # [B, 24, P]
+
+
+def occupancy_query(
+    params: dict,
+    cfg: OccupancyConfig,
+    model: SMPLModel,
+    smpl_out: SMPLOutput,
+    betas: Array,
+    points: Array,
+) -> Array:
+    """Occupancy in [0, 1] for scene points. points: [B, P, 3] -> [B, P].
+
+    Equivalent surface to reference `self.smpl.coap.query(points, smpl_out)`
+    (egohmr.py:509). >0.5 means inside the body.
+    """
+    logits = part_field_raw(params, cfg, model, smpl_out, betas, points)
     # compose parts: inside any part -> inside body (smooth max)
     return jax.nn.sigmoid(jnp.max(logits, axis=1))
+
+
+def masked_mean_loss(pen: Array, mask: Array | None = None) -> Array:
+    """Mean of a per-point penalty over valid points; [B, P] -> [B].
+    Shared normalization of the learned-collision losses (occupancy and
+    neural_sdf's volsdf)."""
+    if mask is not None:
+        pen = pen * mask
+        return jnp.sum(pen, axis=-1) / jnp.maximum(jnp.sum(mask, -1), 1.0)
+    return jnp.mean(pen, axis=-1)
 
 
 def occupancy_collision_loss(occ: Array, mask: Array | None = None) -> Array:
     """Penalize scene points predicted inside the body; [B, P] -> [B].
     Mirrors COAP's collision loss usage (egohmr.py:416-418)."""
-    pen = jnp.square(jnp.maximum(occ - 0.5, 0.0))
-    if mask is not None:
-        pen = pen * mask
-        return jnp.sum(pen, axis=-1) / jnp.maximum(jnp.sum(mask, -1), 1.0)
-    return jnp.mean(pen, axis=-1)
+    return masked_mean_loss(jnp.square(jnp.maximum(occ - 0.5, 0.0)), mask)
+
+
+def make_learned_guidance_fn(
+    collision_mean,
+    model: SMPLModel,
+    cond,                       # models.egohmr.Condition
+    stats,                      # models.egohmr.BodyRepStats
+    *,
+    max_scene_points: int | None = 4096,
+):
+    """Shared scaffold of the learned-collision guidance closures — the
+    drop-in alternatives for models.egohmr.make_guidance_fn, mirroring the
+    reference guide_coll structure (egohmr.py:517-605 /
+    egohmr_volsmpl.py:583-626): grad of -collision wrt x_t through
+    rot6d -> LBS -> the learned field, with the reference's per-joint 1x/2x
+    scaling. `collision_mean(smpl_out, betas, scene)` evaluates the
+    backend's scalar mean collision loss (see make_occupancy_guidance_fn /
+    neural_sdf.make_volsdf_guidance_fn)."""
+    from ..geometry import rot6d_to_rotmat
+    from ..models.egohmr import _GUIDE_JOINT_SCALE
+    from .sdf import topk_scene_points
+
+    scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]
+    betas = jax.lax.stop_gradient(cond.pred_betas)
+    scene = topk_scene_points(
+        jax.lax.stop_gradient(cond.scene_pcd), max_scene_points)
+
+    def neg_collision(x_t: Array) -> Array:
+        pose6d = x_t * stats.std + stats.mean
+        rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
+        out = lbs(model, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
+        return -collision_mean(out, betas, scene)
+
+    def fn(x_t: Array, t: Array) -> Array:
+        grad = jax.grad(neg_collision)(x_t).reshape(-1, 24, 6) * scale
+        return grad.reshape(x_t.shape[0], 144)
+
+    return fn
 
 
 def make_occupancy_guidance_fn(
@@ -240,28 +323,12 @@ def make_occupancy_guidance_fn(
     SDF — drop-in alternative for models.egohmr.make_guidance_fn, mirroring
     the reference's COAP-gradient path (egohmr.py:517-605). Selected by the
     eval CLI's --collision_backend occupancy."""
-    from ..geometry import rot6d_to_rotmat
-    from ..models.egohmr import _GUIDE_JOINT_SCALE
-
-    scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]
-    betas = jax.lax.stop_gradient(cond.pred_betas)
-    from .sdf import topk_scene_points
-
-    scene = topk_scene_points(
-        jax.lax.stop_gradient(cond.scene_pcd), max_scene_points)
-
-    def neg_collision(x_t: Array) -> Array:
-        pose6d = x_t * stats.std + stats.mean
-        rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
-        out = lbs(model, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
+    def collision_mean(out, betas, scene):
         occ = occupancy_query(occ_params, occ_cfg, model, out, betas, scene)
-        return -jnp.mean(occupancy_collision_loss(occ))
+        return jnp.mean(occupancy_collision_loss(occ))
 
-    def fn(x_t: Array, t: Array) -> Array:
-        grad = jax.grad(neg_collision)(x_t).reshape(-1, 24, 6) * scale
-        return grad.reshape(x_t.shape[0], 144)
-
-    return fn
+    return make_learned_guidance_fn(collision_mean, model, cond, stats,
+                                    max_scene_points=max_scene_points)
 
 
 def sample_labeled_batch(

@@ -41,9 +41,16 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..nn.core import linear, linear_init, relu
-from ..smpl.model import SMPLModel, SMPLOutput, lbs
-from .neural_occupancy import NUM_PARTS, _part_transforms, sample_labeled_batch
+from ..nn.core import linear_init
+from ..smpl.model import SMPLModel, SMPLOutput
+from .neural_occupancy import (
+    NUM_PARTS,
+    _load_collision_net,
+    make_learned_guidance_fn,
+    masked_mean_loss,
+    part_field_raw,
+    sample_labeled_batch,
+)
 
 Array = jax.Array
 
@@ -72,16 +79,6 @@ class SDFNetConfig:
     # converted releases regress raw (unbounded) signed distance; the
     # distilled family regresses tanh-bounded truncated SDF
     bounded_output: bool = True
-
-
-def _activation(cfg: SDFNetConfig):
-    if cfg.activation == "relu":
-        return relu
-    if cfg.activation == "leaky_relu":
-        return lambda x: jax.nn.leaky_relu(x, cfg.leaky_slope)
-    if cfg.activation == "softplus":
-        return jax.nn.softplus
-    raise ValueError(f"unknown sdf-net activation: {cfg.activation}")
 
 
 def init_sdfnet(key: Array, cfg: SDFNetConfig = SDFNetConfig()) -> dict:
@@ -114,29 +111,13 @@ def load_sdfnet(path: str) -> Tuple[dict, SDFNetConfig]:
       converted through `interop.volsmpl_convert.convert_volsmpl`
       (reference egohmr_volsmpl.py:134-135 `attach_volume`).
     """
-    import json
-    import os
-
-    if path.endswith((".pt", ".pth", ".ckpt")):
-        from ..interop.torch_convert import load_torch_checkpoint
+    def convert(sd):
         from ..interop.volsmpl_convert import convert_volsmpl
 
-        return convert_volsmpl(load_torch_checkpoint(path))
+        return convert_volsmpl(sd)
 
-    from ..utils.checkpoint import load_npz_into, load_npz_tree
-
-    cfg = SDFNetConfig()
-    meta_path = path + ".json"
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        cfg = SDFNetConfig(**meta.get("sdf_config", {}))
-    if cfg.per_part_networks:
-        # converted-release layout (re-saved via save_npz): init_sdfnet
-        # can't produce this template — rebuild the tree from the keys
-        return load_npz_tree(path), cfg
-    template = init_sdfnet(jax.random.PRNGKey(0), cfg)
-    return load_npz_into(path, template), cfg
+    return _load_collision_net(path, SDFNetConfig, "sdf_config",
+                               convert, init_sdfnet)
 
 
 def sdf_query(
@@ -153,48 +134,9 @@ def sdf_query(
     equivalent of reference `self.smpl_volsmpl.volume.query_fast(points,
     smpl_out)` (egohmr_volsmpl.py:574).
     """
-    B, P, _ = points.shape
-    rot, trans = _part_transforms(model, smpl_out)  # [B,24,3,3], [B,24,3]
-
-    rel = points[:, None, :, :] - trans[:, :, None, :]
-    local = jnp.einsum("bkij,bkpi->bkpj", rot, rel)  # [B, 24, P, 3]
-
-    enc_feats = [rot.reshape(B, 24, 9), trans,
-                 jnp.broadcast_to(betas[:, None, :], (B, 24, 10))]
-    if cfg.part_embed_dim:
-        enc_feats.append(jnp.broadcast_to(
-            params["part_embed"][None], (B, 24, cfg.part_embed_dim)))
-    feats = jnp.concatenate(enc_feats, axis=-1)
-
-    if cfg.per_part_networks:
-        act = _activation(cfg)
-        h = feats  # [B, 24, Din]
-        for i, lp in enumerate(params["part_encoder"]):
-            h = jnp.einsum("bkd,kdo->bko", h, lp["w"]) + lp["b"]
-            if i < len(params["part_encoder"]) - 1:
-                h = act(h)
-        latent = h
-        x = jnp.concatenate(
-            [local, jnp.broadcast_to(latent[:, :, None, :],
-                                     (B, 24, P, latent.shape[-1]))], axis=-1)
-        for i, lp in enumerate(params["part_decoder"]):
-            x = (jnp.einsum("bkpd,kdo->bkpo", x, lp["w"])
-                 + lp["b"][:, None, :])
-            if i < len(params["part_decoder"]) - 1:
-                x = act(x)
-        raw = x[..., 0]  # [B, 24, P] per-part signed distance
-    else:
-        h = relu(linear(params["encoder"]["l0"], feats))
-        latent = linear(params["encoder"]["l1"], h)  # [B, 24, D]
-        x = jnp.concatenate(
-            [local, jnp.broadcast_to(latent[:, :, None, :],
-                                     (B, 24, P, latent.shape[-1]))], axis=-1)
-        for i, lp in enumerate(params["decoder"]):
-            x = linear(lp, x)
-            if i < len(params["decoder"]) - 1:
-                x = relu(x)
-        raw = x[..., 0]
-
+    # the shared COAP/VolSMPL-family part-field forward; only the head
+    # below differs from the occupancy backend
+    raw = part_field_raw(params, cfg, model, smpl_out, betas, points)
     if cfg.bounded_output:
         raw = cfg.trunc * jnp.tanh(raw)
     # union of parts: distance to the union is the min over part fields
@@ -208,11 +150,7 @@ def sdf_collision_loss(sdf: Array, mask: Array | None = None) -> Array:
     `volume.collision_loss(points, smpl_out)` (egohmr_volsmpl.py:608-620
     — the volsmpl path is batched in the reference too, unlike COAP's).
     """
-    pen = jnp.square(jnp.maximum(-sdf, 0.0))
-    if mask is not None:
-        pen = pen * mask
-        return jnp.sum(pen, axis=-1) / jnp.maximum(jnp.sum(mask, -1), 1.0)
-    return jnp.mean(pen, axis=-1)
+    return masked_mean_loss(jnp.square(jnp.maximum(-sdf, 0.0)), mask)
 
 
 def make_volsdf_guidance_fn(
@@ -230,27 +168,12 @@ def make_volsdf_guidance_fn(
     through rot6d -> LBS -> volume, lower-body joints only with the same
     1x/2x scaling). Selected by the eval CLI's --collision_backend volsdf.
     """
-    from ..geometry import rot6d_to_rotmat
-    from ..models.egohmr import _GUIDE_JOINT_SCALE
-    from .sdf import topk_scene_points
-
-    scale = jnp.asarray(_GUIDE_JOINT_SCALE)[None, :, None]
-    betas = jax.lax.stop_gradient(cond.pred_betas)
-    scene = topk_scene_points(
-        jax.lax.stop_gradient(cond.scene_pcd), max_scene_points)
-
-    def neg_collision(x_t: Array) -> Array:
-        pose6d = x_t * stats.std + stats.mean
-        rotmat = rot6d_to_rotmat(pose6d, "diffusion").reshape(-1, 24, 3, 3)
-        out = lbs(model, betas, rotmat[:, :1], rotmat[:, 1:], pose2rot=False)
+    def collision_mean(out, betas, scene):
         sdf = sdf_query(sdf_params, sdf_cfg, model, out, betas, scene)
-        return -jnp.mean(sdf_collision_loss(sdf))
+        return jnp.mean(sdf_collision_loss(sdf))
 
-    def fn(x_t: Array, t: Array) -> Array:
-        grad = jax.grad(neg_collision)(x_t).reshape(-1, 24, 6) * scale
-        return grad.reshape(x_t.shape[0], 144)
-
-    return fn
+    return make_learned_guidance_fn(collision_mean, model, cond, stats,
+                                    max_scene_points=max_scene_points)
 
 
 def sdf_agreement(

@@ -440,7 +440,7 @@ def _load_params(checkpoint: str, cfg):
     import jax
     import jax.numpy as jnp
 
-    if checkpoint.endswith(".pt"):
+    if checkpoint.endswith((".pt", ".pth", ".ckpt")):
         from ..interop.torch_convert import convert_egohmr, load_torch_checkpoint
 
         sd = load_torch_checkpoint(checkpoint)

@@ -85,7 +85,7 @@ def main(argv=None):
         smpl_n = smpl_create(args.smpl_model_path, "neutral")
         smpl_m = smpl_create(args.smpl_model_path, "male")
         smpl_f = smpl_create(args.smpl_model_path, "female")
-        if args.checkpoint.endswith((".pt", ".pth")):
+        if args.checkpoint.endswith((".pt", ".pth", ".ckpt")):
             # reference-layout release checkpoint (e.g. the published
             # 53618.pt — reference README.md:68-70): converted on load,
             # same drop-in path the stage-2 CLI has

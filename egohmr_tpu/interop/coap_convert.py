@@ -51,6 +51,43 @@ _PART_PATTERNS: Tuple[Tuple[str, str], ...] = (
 )
 
 
+def _stack_parts(sd: Flat, fmt: str, what: str, num_parts: int,
+                 who: str) -> List[Dict[str, jnp.ndarray]]:
+    """Walk each part's Sequential under `fmt` and np.stack the Linear
+    layers into the part-leading [K, in, out] einsum layout, validating
+    that every part's net is architecturally identical. Shared by
+    `convert_coap` and `convert_volsmpl` (interop/volsmpl_convert.py);
+    `who` names the caller in diagnostics."""
+    per_part = []
+    for k in range(num_parts):
+        layers = _walk_sequential(sd, fmt.format(k=k))
+        if not layers:
+            raise ValueError(
+                f"{who}: no Linear layers found for {what} part "
+                f"{k} under '{fmt.format(k=k)}' — the checkpoint has "
+                f"{len(sd)} keys; is num_parts={num_parts} "
+                "right for this release?")
+        per_part.append(layers)
+    depth = len(per_part[0])
+    for k, layers in enumerate(per_part):
+        if len(layers) != depth:
+            raise ValueError(
+                f"{who}: {what} part {k} has {len(layers)} "
+                f"Linear layers but part 0 has {depth} — per-part nets "
+                "must be architecturally identical to stack")
+        for i, layer in enumerate(layers):
+            if layer["w"].shape != per_part[0][i]["w"].shape:
+                raise ValueError(
+                    f"{who}: {what} part {k} layer {i} shape "
+                    f"{layer['w'].shape} != part 0's "
+                    f"{per_part[0][i]['w'].shape}")
+    return [
+        {"w": jnp.asarray(np.stack([p[i]["w"] for p in per_part])),
+         "b": jnp.asarray(np.stack([p[i]["b"] for p in per_part]))}
+        for i in range(depth)
+    ]
+
+
 def _walk_sequential(sd: Flat, prefix: str) -> List[Dict[str, np.ndarray]]:
     """Collect the Linear layers of a torch nn.Sequential under `prefix`.
 
@@ -128,38 +165,8 @@ def convert_coap(
     if enc_fmt is None or dec_fmt is None:
         enc_fmt, dec_fmt = _discover_pattern(sd, _PART_PATTERNS)
 
-    def stack(fmt: str, what: str) -> List[Dict[str, jnp.ndarray]]:
-        per_part = []
-        for k in range(num_parts):
-            layers = _walk_sequential(sd, fmt.format(k=k))
-            if not layers:
-                raise ValueError(
-                    f"convert_coap: no Linear layers found for {what} part "
-                    f"{k} under '{fmt.format(k=k)}' — the checkpoint has "
-                    f"{len(sd)} keys; is num_parts={num_parts} "
-                    "right for this release?")
-            per_part.append(layers)
-        depth = len(per_part[0])
-        for k, layers in enumerate(per_part):
-            if len(layers) != depth:
-                raise ValueError(
-                    f"convert_coap: {what} part {k} has {len(layers)} "
-                    f"Linear layers but part 0 has {depth} — per-part nets "
-                    "must be architecturally identical to stack")
-            for i, layer in enumerate(layers):
-                if layer["w"].shape != per_part[0][i]["w"].shape:
-                    raise ValueError(
-                        f"convert_coap: {what} part {k} layer {i} shape "
-                        f"{layer['w'].shape} != part 0's "
-                        f"{per_part[0][i]['w'].shape}")
-        return [
-            {"w": jnp.asarray(np.stack([p[i]["w"] for p in per_part])),
-             "b": jnp.asarray(np.stack([p[i]["b"] for p in per_part]))}
-            for i in range(depth)
-        ]
-
-    enc = stack(enc_fmt, "encoder")
-    dec = stack(dec_fmt, "decoder")
+    enc = _stack_parts(sd, enc_fmt, "encoder", num_parts, "convert_coap")
+    dec = _stack_parts(sd, dec_fmt, "decoder", num_parts, "convert_coap")
 
     enc_in = int(enc[0]["w"].shape[1])
     latent = int(enc[-1]["w"].shape[2])

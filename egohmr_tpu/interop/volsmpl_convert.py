@@ -34,7 +34,7 @@ from typing import Mapping, Optional, Tuple
 
 import numpy as np
 
-from .coap_convert import _PART_PATTERNS, _walk_sequential
+from .coap_convert import _PART_PATTERNS, _stack_parts, _walk_sequential
 
 Flat = Mapping[str, np.ndarray]
 
@@ -97,34 +97,10 @@ def convert_volsmpl(
                 "matching the release's layout ('{k}' = part index).")
         (enc_fmt, dec_fmt), sd = found
 
-    def stack(fmt: str, what: str):
-        import jax.numpy as jnp
-
-        per_part = []
-        for k in range(num_parts):
-            layers = _walk_sequential(sd, fmt.format(k=k))
-            if not layers:
-                raise ValueError(
-                    f"convert_volsmpl: no Linear layers for {what} part {k} "
-                    f"under '{fmt.format(k=k)}'")
-            per_part.append(layers)
-        depth = len(per_part[0])
-        for k, layers in enumerate(per_part):
-            if len(layers) != depth or any(
-                    l["w"].shape != per_part[0][i]["w"].shape
-                    for i, l in enumerate(layers)):
-                raise ValueError(
-                    f"convert_volsmpl: {what} part {k} layer shapes differ "
-                    "from part 0 — per-part nets must be architecturally "
-                    "identical to stack")
-        return [
-            {"w": jnp.asarray(np.stack([p[i]["w"] for p in per_part])),
-             "b": jnp.asarray(np.stack([p[i]["b"] for p in per_part]))}
-            for i in range(depth)
-        ]
-
-    enc = stack(enc_fmt, "encoder")
-    dec = stack(dec_fmt, "decoder")
+    enc = _stack_parts(sd, enc_fmt, "encoder", num_parts,
+                       "convert_volsmpl")
+    dec = _stack_parts(sd, dec_fmt, "decoder", num_parts,
+                       "convert_volsmpl")
 
     enc_in = int(enc[0]["w"].shape[1])
     latent = int(enc[-1]["w"].shape[2])

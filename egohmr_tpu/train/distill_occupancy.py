@@ -126,10 +126,14 @@ def main(argv=None):
     passed = acc >= args.accuracy_bar
 
     save_path = args.save_path
+    if not save_path.endswith(".npz"):
+        # np.savez appends ".npz" silently — normalize up front so the
+        # ".json" meta sidecar lands next to the actual artifact file
+        save_path += ".npz"
     if not passed:
         # never clobber a shipped/passing artifact with one that missed the
         # bar — divert to a .failed sidecar the user can inspect
-        save_path = args.save_path + ".failed.npz"
+        save_path += ".failed.npz"
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     save_npz(save_path, params)
     meta = {

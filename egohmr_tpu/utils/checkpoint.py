@@ -65,6 +65,15 @@ def save_npz(path: str, tree: Any) -> None:
 
     def walk(node, prefix):
         if isinstance(node, dict):
+            if node and all(isinstance(k, str) and k.isdigit()
+                            for k in node):
+                # indistinguishable from a flattened list on reload:
+                # load_npz_tree would coerce this level into a list,
+                # silently changing the pytree structure. Refuse here.
+                raise ValueError(
+                    f"save_npz: dict at {prefix!r} is keyed entirely by "
+                    "digit strings — ambiguous with list flattening; "
+                    "rename the keys or use a list")
             for k, v in node.items():
                 walk(v, f"{prefix}{k}.")
         elif isinstance(node, (list, tuple)):

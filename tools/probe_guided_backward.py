@@ -99,13 +99,13 @@ def main(argv=None):
     if args.all:
         results["exact-r1"] = run(1, "exact")
         results["fwd-r1"] = run(1, "forward-only")
-    back_ms = round(results["fwd-r3"]["ms_per_batch"]
-                    - results["exact-r3"]["ms_per_batch"], 2)
+    backward_cost_ms = round(results["exact-r3"]["ms_per_batch"]
+                             - results["fwd-r3"]["ms_per_batch"], 2)
     print(json.dumps({
         "metric": "guided_ddpm50_backward_decomposition",
         "batch_size": B,
         "results": results,
-        "backward_cost_ms_per_batch": -back_ms,
+        "backward_cost_ms_per_batch": backward_cost_ms,
         "note": "exact minus forward-only = end-to-end cost of the "
                 "selective-re-pose backward across the 11 guided steps",
         "device": str(jax.devices()[0]),
