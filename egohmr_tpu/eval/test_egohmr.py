@@ -18,7 +18,12 @@ import pickle
 import numpy as np
 
 
-def parse_args(argv=None):
+def parse_args(argv=None, **default_overrides):
+    """Build the stage-2 eval arg set. `default_overrides` replaces flag
+    DEFAULTS (not parsed values) — the volsmpl alias CLI uses it to mirror
+    the reference's test_egohmr.py / test_egohmr_volsmpl.py split, which
+    differ only in defaults (SURVEY §2.5; reference test_egohmr_volsmpl.py
+    is test_egohmr.py with EgoHMRVolsmpl + cond_grad_weight=30)."""
     p = argparse.ArgumentParser(description="EgoHMR (stage 2) evaluation")
     b = lambda x: str(x).lower() in ["true", "1"]
     p.add_argument("--two_stage", type=b, default=True)
@@ -103,11 +108,16 @@ def parse_args(argv=None):
     p.add_argument("--platform", type=str, default="",
                    help="force a JAX platform (e.g. 'cpu'); needed because "
                         "the axon sitecustomize overrides JAX_PLATFORMS")
+    if default_overrides:
+        known = {a.dest for a in p._actions}
+        unknown = set(default_overrides) - known
+        assert not unknown, f"unknown default overrides: {sorted(unknown)}"
+        p.set_defaults(**default_overrides)
     return p.parse_args(argv)
 
 
-def main(argv=None):
-    args = parse_args(argv)
+def main(argv=None, **default_overrides):
+    args = parse_args(argv, **default_overrides)
 
     import jax
     import jax.numpy as jnp

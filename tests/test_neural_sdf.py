@@ -207,6 +207,37 @@ def test_eval_cli_volsdf_backend_matches_sdf():
         (s_sdf["coll_ratio"], s_vol["coll_ratio"])
 
 
+def test_volsmpl_cli_is_test_egohmr_with_volsdf_defaults():
+    """The literal reference CLI split (test_egohmr.py vs
+    test_egohmr_volsmpl.py, identical bar EgoHMRVolsmpl + cond_grad_weight=30
+    — SURVEY §2.5): the alias parses the SAME flag set with the volsmpl
+    variant defaults, still overridable, and runs the shared driver."""
+    from egohmr_tpu.eval import test_egohmr, test_egohmr_volsmpl as cli
+
+    args = cli.parse_args(["--synthetic"])
+    assert args.collision_backend == "volsdf"
+    assert args.cond_grad_weight == 30.0
+    base = test_egohmr.parse_args(["--synthetic"])
+    assert base.collision_backend == "sdf" and base.cond_grad_weight == 2.0
+    # same flag surface, and explicit flags still win over variant defaults
+    assert vars(args).keys() == vars(base).keys()
+    ov = cli.parse_args(["--synthetic", "--cond_grad_weight", "7",
+                         "--collision_backend", "sdf"])
+    assert ov.cond_grad_weight == 7.0 and ov.collision_backend == "sdf"
+
+    artifact = os.path.join(os.path.dirname(__file__), "..",
+                            "artifacts", "volsdf_synthetic.npz")
+    if not os.path.exists(artifact):
+        pytest.skip("shipped volsdf artifact not built")
+    assert os.path.samefile(args.sdfnet_ckpt, artifact)
+    s = cli.main(["--synthetic", "--batch_size", "2", "--num_batches", "1",
+                  "--num_samples", "1", "--num_diffusion_timesteps", "10",
+                  "--timestep_respacing_eval", "ddpm",
+                  "--eval_contact_score", "false",
+                  "--data_parallel", "false"])
+    assert np.isfinite(s["coll_ratio"]) and np.isfinite(s["g_mpjpe"])
+
+
 def test_volsdf_backend_rejects_guidance_refresh():
     """guidance_refresh_every > 1 caches the sdf backend's selection pass;
     the volsdf backend has no selection stage, so the combination must fail
