@@ -57,6 +57,28 @@ def test_visualize_results_end_to_end(tmp_path):
     assert cyan.mean() > 0.005
 
 
+def test_visualizer_consumes_eval_cli_results_pkl(tmp_path):
+    """Contract chain: the pkl the eval CLI writes (--save_results,
+    reference schema test_egohmr.py:674-693) is directly consumable by the
+    viewer tool — schema drift on either side breaks this test."""
+    from egohmr_tpu.eval import test_egohmr as cli
+
+    save_root = str(tmp_path / "results")
+    cli.main(["--synthetic", "--batch_size", "2", "--num_batches", "1",
+              "--num_samples", "1", "--timestep_respacing_eval", "ddim5",
+              "--with_coap_grad", "false", "--eval_coll_loss", "false",
+              "--eval_contact_score", "false", "--data_parallel", "false",
+              "--save_results", "true", "--save_root", save_root])
+    pkl = os.path.join(save_root, "output_egohmr_synthetic",
+                       "results_seed_0.pkl")
+    assert os.path.exists(pkl)
+    written = vr.main(["--results", pkl, "--synthetic_smpl",
+                       "--indices", "0", "--views", "camera", "orbit45",
+                       "--img_size", "320", "180",
+                       "--out_dir", str(tmp_path / "vis")])
+    assert len(written) == 2 and all(os.path.exists(p) for p in written)
+
+
 def test_visualize_results_index_bounds(tmp_path):
     pkl = str(tmp_path / "r.pkl")
     _fabricate_results(pkl, n=1)
